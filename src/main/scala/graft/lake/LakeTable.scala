@@ -1,0 +1,236 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/**
+ * Minimal Iceberg-style lake table: parquet data files + JSON snapshot
+ * manifests + atomic pointer commit + additive schema evolution + MERGE
+ * upsert. SURVEY.md §7.0: no Iceberg jar ships in this sandbox, so the
+ * north rule's "Iceberg MERGE" lands as this in-repo format behind a small
+ * API (`merge`/`read`/`evolveSchema`) that a real
+ * `iceberg-spark-runtime` (`MERGE INTO … WHEN MATCHED`) replaces 1:1.
+ *
+ * Scale design (100 TB posture):
+ *  - data is hash-bucketed by `conv_id` into `numBuckets` buckets; a MERGE
+ *    reads and rewrites ONLY the buckets present in the incoming batch
+ *    (at cluster scale: thousands of buckets, so a micro-batch touches a
+ *    small fraction of the table);
+ *  - last-writer-wins is resolved by the `_lsn` metadata column, so
+ *    late-arriving events in later micro-batches cannot regress state;
+ *  - deletes are retained as `_op='D'` tombstones so a late pre-delete
+ *    event cannot resurrect a deleted row (compaction can GC tombstones
+ *    below a replay watermark);
+ *  - exactly-once: every snapshot records the set of applied
+ *    `batchId`s; re-merging an already-applied batch is a no-op, which
+ *    together with Structured Streaming's checkpointed offsets gives
+ *    end-to-end exactly-once (SURVEY.md §7.4 risk 1);
+ *  - commit is write-new-snapshot-file + atomic rename of the `_latest`
+ *    pointer — kill-during-commit leaves the old snapshot current and the
+ *    orphan files unreachable.
+ */
+class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int = 16) {
+  import LakeTable._
+
+  private val rootPath: Path = Paths.get(root)
+  private val snapsDir: Path = rootPath.resolve("snapshots")
+  private val latestPtr: Path = rootPath.resolve("_latest")
+
+  /** Stable bucket assignment — must never change across snapshots. */
+  def bucketOf(convId: Column): Column = pmod(xxhash64(convId, lit(42)), lit(numBuckets)).cast("int")
+
+  // ---- snapshot state ----------------------------------------------------
+
+  final case class Snapshot(
+      version: Long,
+      schema: StructType,
+      files: Map[Int, Seq[String]], // bucket -> data file paths (relative to root)
+      appliedBatchIds: Set[Long])
+
+  def exists: Boolean = Files.exists(latestPtr)
+
+  def create(schema: StructType): Unit = {
+    Files.createDirectories(snapsDir)
+    Files.createDirectories(rootPath.resolve("data"))
+    Files.createDirectories(rootPath.resolve("lineage"))
+    commit(Snapshot(0L, withMeta(schema), Map.empty, Set.empty))
+  }
+
+  def currentSnapshot: Snapshot = {
+    val name = Files.readString(latestPtr).trim
+    readSnapshot(snapsDir.resolve(name))
+  }
+
+  private def readSnapshot(p: Path): Snapshot = {
+    val node = mapper.readTree(Files.readString(p))
+    val schema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
+    val files = node.get("files").asInstanceOf[ObjectNode].properties().asScala.map { e =>
+      e.getKey.toInt -> e.getValue.asInstanceOf[ArrayNode].asScala.map(_.asText).toSeq
+    }.toMap
+    val applied = node.get("appliedBatchIds").asInstanceOf[ArrayNode].asScala.map(_.asLong).toSet
+    Snapshot(node.get("version").asLong, schema, files, applied)
+  }
+
+  private def commit(s: Snapshot): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", s.version)
+    node.put("schema", s.schema.json)
+    val filesNode = node.putObject("files")
+    s.files.foreach { case (b, fs) =>
+      val arr = filesNode.putArray(b.toString)
+      fs.foreach(arr.add)
+    }
+    val applied = node.putArray("appliedBatchIds")
+    s.appliedBatchIds.toSeq.sorted.foreach(applied.add)
+    val name = f"v${s.version}%08d-${UUID.randomUUID().toString.take(8)}.json"
+    Files.writeString(snapsDir.resolve(name), mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    // atomic pointer flip: tmp + ATOMIC_MOVE (SURVEY.md §7.4 risk 1)
+    val tmp = rootPath.resolve(s"_latest.tmp.${UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, name)
+    Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- reads -------------------------------------------------------------
+
+  /** Full table state incl. metadata columns and delete tombstones. */
+  def readFull(): DataFrame = readBuckets(currentSnapshot, None)
+
+  /** Public view: tombstones dropped, metadata columns hidden. */
+  def read(): DataFrame = {
+    val s = currentSnapshot
+    val publicCols = s.schema.fields.map(_.name).filterNot(metaColNames.contains)
+    readBuckets(s, None).filter(col("_op") =!= "D")
+      .select(publicCols.map(col).toSeq: _*)
+  }
+
+  private def readBuckets(s: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    val paths = s.files
+      .filter { case (b, _) => buckets.forall(_.contains(b)) }
+      .values.flatten.map(f => rootPath.resolve(f).toString).toSeq
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    // explicit schema: older files simply lack evolved columns and read as
+    // null — additive schema evolution without rewriting history
+    else spark.read.schema(s.schema).parquet(paths: _*)
+  }
+
+  // ---- schema evolution --------------------------------------------------
+
+  /** Additive-only evolution; existing files are NOT rewritten. */
+  def evolveSchema(newFields: Seq[StructField]): Unit = {
+    val s = currentSnapshot
+    val existing = s.schema.fieldNames.toSet
+    val add = newFields.filterNot(f => existing.contains(f.name))
+    if (add.nonEmpty)
+      commit(s.copy(version = s.version + 1,
+        schema = StructType(s.schema.fields ++ add)))
+  }
+
+  // ---- MERGE -------------------------------------------------------------
+
+  /** MERGE a prepared batch into the table.
+    *
+    * `batch` must contain the key columns, `_lsn` (long) and `_op`
+    * ('I'|'U'|'D'), one row per key (pre-deduplicated last-writer-wins by
+    * the caller — [[graft.cdc.CdcApply]]). Unknown public columns in the
+    * batch trigger additive schema evolution first.
+    *
+    * Semantics = Iceberg `MERGE INTO t USING b ON keys WHEN MATCHED AND
+    * b._lsn >= t._lsn THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT`,
+    * implemented as: read affected buckets → union old+new → keep max-_lsn
+    * row per key → rewrite those buckets only.
+    *
+    * Returns false if `batchId` was already applied (idempotent replay). */
+  def merge(batch: DataFrame, keyCols: Seq[String], batchId: Long,
+      saltPartitions: Int = 0): Boolean = {
+    val s0 = currentSnapshot
+    if (s0.appliedBatchIds.contains(batchId)) return false
+
+    // additive schema evolution driven by batch shape
+    val newPublic = batch.schema.fields
+      .filterNot(f => metaColNames.contains(f.name))
+      .filterNot(f => s0.schema.fieldNames.contains(f.name))
+    if (newPublic.nonEmpty) evolveSchema(newPublic.toSeq)
+    val s = currentSnapshot
+
+    val tableCols = s.schema.fields.map(_.name)
+    // align batch to table schema (missing evolved cols -> null)
+    val aligned = s.schema.fields.foldLeft(batch) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(tableCols.map(col).toSeq: _*)
+      .withColumn("_bucket", bucketOf(col(keyCols.head)))
+
+    val affected: Set[Int] =
+      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+    val cur = readBuckets(s, Some(affected))
+      .withColumn("_bucket", bucketOf(col(keyCols.head)))
+
+    val all = cur.unionByName(aligned)
+    val keyStruct = keyCols.map(col)
+    // cross-batch LWW: single max_by per key (map-side partial agg keeps
+    // the hot-key shuffle small; see CdcApply for the in-batch salted stage)
+    val merged = all
+      .groupBy(keyStruct: _*)
+      .agg(max_by(struct((tableCols :+ "_bucket").map(col).toSeq: _*), col("_lsn")).as("r"))
+      .select((tableCols :+ "_bucket").map(n => col(s"r.$n").as(n)): _*)
+
+    // rewrite affected buckets; salt the write shuffle so a hot bucket is
+    // written by multiple tasks (hot-conversation skew, north_star)
+    val commitId = UUID.randomUUID().toString.take(12)
+    val outDir = rootPath.resolve(s"data/commit-$commitId")
+    val writeDf =
+      if (saltPartitions > 0)
+        merged.repartition(math.max(affected.size, 1) * saltPartitions,
+          col("_bucket"), pmod(xxhash64(col(keyCols.last)), lit(saltPartitions)))
+      else merged.repartition(math.max(affected.size, 1), col("_bucket"))
+    writeDf.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
+
+    // enumerate new files per bucket
+    val newFiles: Map[Int, Seq[String]] = affected.map { b =>
+      val d = outDir.resolve(s"_bucket=$b")
+      val fs = if (Files.exists(d))
+        Files.list(d).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => rootPath.relativize(p).toString).toSeq
+      else Seq.empty[String]
+      b -> fs
+    }.toMap
+
+    val files2 = (s.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
+    commit(Snapshot(s.version + 1, s.schema, files2, s.appliedBatchIds + batchId))
+    true
+  }
+
+  // ---- lineage / metrics -------------------------------------------------
+
+  /** Append one lineage line per (batch, bucket): event counts + lsn range
+    * + duration (north_star: "per-partition lineage rows and ingest
+    * metrics emitted each micro-batch"). */
+  def appendLineage(batchId: Long, perBucket: Seq[(Int, Long, Long, Long)], durationMs: Long): Unit = {
+    val sb = new StringBuilder
+    perBucket.foreach { case (bucket, n, lsnMin, lsnMax) =>
+      sb.append(s"""{"batch_id":$batchId,"partition_id":$bucket,"events":$n,"lsn_min":$lsnMin,"lsn_max":$lsnMax,"duration_ms":$durationMs}""").append('\n')
+    }
+    val f = rootPath.resolve(s"lineage/batch-$batchId-${UUID.randomUUID().toString.take(8)}.jsonl")
+    Files.writeString(f, sb.toString)
+  }
+
+  def lineage(): DataFrame = spark.read.json(rootPath.resolve("lineage").toString + "/*.jsonl")
+}
+
+object LakeTable {
+  private val mapper = new ObjectMapper()
+  val metaColNames: Set[String] = Set("_lsn", "_op", "_bucket")
+
+  def withMeta(publicSchema: StructType): StructType =
+    StructType(publicSchema.fields.filterNot(f => metaColNames.contains(f.name)) ++
+      graft.model.Model.metaCols)
+}
