@@ -1,24 +1,88 @@
 package graft
+
+import graft.cdc.CdcApply
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+import graft.model.Model
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline queries at SPARK_GRAFT_SF_DIR plus the
+  * flagship CDC replay throughput. Prints ONE JSON line. */
 object Bench {
+
+  /** Write (or reuse) the deterministic benchmark log; returns segment
+    * dirs. Generation is parallelism-independent, so a log written by any
+    * session is byte-identical and reusable across sessions. */
+  def genLog(spark: SparkSession, workDir: String, numEvents: Long,
+      numSegments: Int): Seq[String] = {
+    val logDir = s"$workDir/log-$numEvents-$numSegments"
+    val marker = java.nio.file.Paths.get(s"$logDir/_COMPLETE")
+    val cfg = ChangeLogGen.Config(numEvents = numEvents,
+      numConversations = math.max(64L, numEvents / 500), maxTurns = 64)
+    if (java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.list(java.nio.file.Paths.get(logDir)).toArray
+        .map(_.toString).filter(_.contains("segment-")).sorted.toSeq
+    } else {
+      val segs = ChangeLogGen.writeLog(spark, logDir, cfg, numSegments)
+      java.nio.file.Files.writeString(marker, "ok")
+      segs
+    }
+  }
+
+  /** One full replay into a fresh table; returns (sec, events/sec). */
+  def replayOnce(spark: SparkSession, segments: Seq[String], numEvents: Long,
+      buckets: Int): (Double, Double) = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-bench-table").toString
+    val table = new LakeTable(spark, tableDir, numBuckets = buckets)
+    table.create(Model.transcriptSchema)
+    val t0 = System.nanoTime()
+    CdcApply.replay(spark, table, segments)
+    val sec = (System.nanoTime() - t0) / 1e9
+    deleteRec(tableDir)
+    (sec, numEvents / sec)
+  }
+
+  def cdcReplay(spark: SparkSession, numEvents: Long, numSegments: Int,
+      buckets: Int): (Double, Double) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val segments = genLog(spark, work, numEvents, numSegments)
+    val r = replayOnce(spark, segments, numEvents, buckets)
+    deleteRec(work)
+    r
+  }
+
+  def deleteRec(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // flagship: CDC replay throughput (1M events, 8 micro-batches)
+    val (replaySec, eps) = cdcReplay(spark, 1000000L, 8, buckets = 32)
+    results("cdc_replay_1m") = replaySec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f}""")
     spark.stop()
   }
 }

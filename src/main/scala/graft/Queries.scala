@@ -1,0 +1,316 @@
+package graft
+
+import graft.ops.{Multimodal, TextOps, VectorOps}
+import graft.rules._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The driver-contract query inventory: one entry per implemented operator
+ * (SURVEY.md §2) plus the training-data pipeline operators. Each query has
+ * a DuckDB oracle in [[Queries.oracleSql]] where ANSI-SQL-expressible;
+ * non-SQL-expressible ops (minhash/simhash/LSH/fingerprints/media) get
+ * rows-only checks here and exact oracles in the ScalaTest suites.
+ *
+ * Oracle-parity rules observed throughout: aliases identical on both
+ * sides; integer/boolean/string outputs preferred (no float arithmetic
+ * whose accumulation order could differ); sums only over integral values;
+ * ties in any ordering broken by a unique key.
+ */
+object Queries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val base = "http://ex.org/"
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 1+4: scan + projection (pushdown verified in PlanSpec)
+    "q_scan_project" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .filter(col("l_quantity") > 30)),
+
+    // op 5: null-skip σ (reference definitions.h:6)
+    "q_nullskip" -> ((s, d) =>
+      T(s, d, "documents").select("doc_id", "text", "lang")
+        .filter(RuleCompiler.nullSkipPredicate(Seq("text", "lang")))),
+
+    // op 6: row dedup δ on projected columns
+    "q_dedup" -> ((s, d) =>
+      T(s, d, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()),
+
+    // op 7: equi hash-join (broadcast the dim side)
+    "q_hash_join" -> ((s, d) => {
+      val o = T(s, d, "orders"); val c = T(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // join + aggregation (engine extension beyond reference; SURVEY §2.2)
+    "q_join_agg" -> ((s, d) => {
+      val c = T(s, d, "customer"); val n = T(s, d, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), max(col("c_acctbal")).as("max_bal"))
+    }),
+
+    // aggregation: TPC-H Q1 shape (integral-valued double sums are exact)
+    "q1_agg" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("count_order"))),
+
+    // op 9: create() template IRI with %-encoding + base URI
+    "q_create_template" -> ((s, d) =>
+      T(s, d, "part").select(col("p_partkey"),
+        RuleCompiler.compile(
+          TermRule(TermMap.Template("part/{p_partkey}/{p_name}"), TermKind.Iri), base).as("term"))),
+
+    // op 9: create() literal with datatype
+    "q_create_literal" -> ((s, d) =>
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        RuleCompiler.compile(TermRule(TermMap.Reference("l_quantity"),
+          TermKind.Lit(datatype = Some("http://www.w3.org/2001/XMLSchema#decimal")))).as("term"))),
+
+    // op 9: create() blank node with sanitization
+    "q_create_blanknode" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey"),
+        RuleCompiler.compile(TermRule(TermMap.Reference("c_name"), TermKind.BlankNode)).as("term"))),
+
+    // op 10: format sink — full N-Triples line
+    "q_format_ntriples" -> ((s, d) => {
+      val rule = MappingRule("m", "supplier", TripleRule(
+        TermRule(TermMap.Template("supplier/{s_suppkey}"), TermKind.Iri),
+        TermRule(TermMap.Constant(base + "name"), TermKind.Iri),
+        TermRule(TermMap.Reference("s_name"), TermKind.Lit())))
+      RdfEngine.serialize(RdfEngine.execute(Seq(rule), Map("supplier" -> T(s, d, "supplier")), base))
+    }),
+
+    // ops 11+13: union of rules + scoped distinct
+    "q_union_distinct" -> ((s, d) => {
+      def rule(src: String, nameCol: String) = MappingRule(src, src, TripleRule(
+        TermRule(TermMap.Template("geo/{" + nameCol + "}"), TermKind.Iri),
+        TermRule(TermMap.Constant(base + "label"), TermKind.Iri),
+        TermRule(TermMap.Reference(nameCol), TermKind.Lit())))
+      RdfEngine.execute(
+        Seq(rule("region", "r_name"), rule("nation", "n_name")),
+        Map("region" -> T(s, d, "region"), "nation" -> T(s, d, "nation")), base)
+        .select("s", "p", "o")
+    }),
+
+    // op 12: constant-only short circuit (folds to a single literal row)
+    "q_constant_fold" -> ((s, _) => {
+      val rule = TripleRule(
+        TermRule(TermMap.Constant(base + "s"), TermKind.Iri),
+        TermRule(TermMap.Constant(base + "p"), TermKind.Iri),
+        TermRule(TermMap.Constant("v"), TermKind.Lit()))
+      val (cols, _) = RuleCompiler.compileTriple(rule)
+      s.range(1).select(cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // CDC op: LSN/offset-ordered last-writer-wins dedup (salted two-stage)
+    "q_lww_dedup" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("user_id"), col("event_id").as("_lsn"), col("event_type"), col("value"))
+      graft.cdc.CdcApply.lwwDedup(ev, Seq("user_id"), saltBuckets = 4)
+        .select(col("user_id"), col("_lsn").as("event_id"), col("event_type"), col("value"))
+    }),
+
+    // op 3: JSON source / nested extraction
+    "q_json_source" -> ((s, d) =>
+      T(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // window functions (engine extension)
+    "q_window" -> ((s, d) =>
+      T(s, d, "events").select(col("event_id"), col("user_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))).as("rn"))),
+
+    // top-k (TakeOrderedAndProject — no global sort)
+    "q_topk" -> ((s, d) =>
+      T(s, d, "customer").select("c_custkey", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc).limit(10)),
+
+    // semi/anti/outer joins (engine extensions; reference has inner only)
+    "q_semi_join" -> ((s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    "q_anti_join" -> ((s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_outer_join_agg" -> ((s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // ---- training-data pipeline ----------------------------------------
+    "q_doc_exact_dedup" -> ((s, d) =>
+      TextOps.exactDedup(T(s, d, "documents"), "doc_id", "text")),
+
+    "q_doc_tokens" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_subtokens"))),
+
+    "q_doc_quality" -> ((s, d) =>
+      TextOps.qualitySignals(T(s, d, "documents"), col("text"))
+        .select("doc_id", "n_chars_m", "n_tokens", "n_stopwords", "quality_ok")),
+
+    "q_doc_langid" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_guess"))),
+
+    // fingerprints / sketches (exact oracles live in ScalaTest; rows-only here)
+    "q_doc_fingerprint" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.rolling_fingerprint(col("text"), 16).as("fp"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))),
+
+    "q_doc_neardup_minhash" -> ((s, d) =>
+      TextOps.nearDupPairs(withPerturbedCopies(T(s, d, "documents")), "doc_id", "text",
+        threshold = 0.7)),
+
+    "q_doc_neardup_simhash" -> ((s, d) =>
+      TextOps.simhashNearDups(withPerturbedCopies(T(s, d, "documents")), "doc_id", "text",
+        maxDist = 4)),
+
+    // similarity search
+    "q_emb_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      VectorOps.cosineTopK(emb, "vec_id", "embedding", queryVec(emb), 10)
+    }),
+    "q_emb_ann_lsh" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      VectorOps.cosineTopKLsh(emb, "vec_id", "embedding", queryVec(emb), 10, bits = 8)
+    }),
+
+    // multimodal plumbing (stubbed decode, real schema/batching)
+    "q_media_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(T(s, d, "documents"), "doc_id")
+      Multimodal.extractFeatures(media, parallelism = 8)
+        .select(col("media_id"), col("kind"), size(col("feature")).as("n_feature"))
+    }))
+
+  /** Near-dup test input: the documents plus perturbed copies (id+10^6,
+    * first 10 chars chopped) — guarantees the near-dup detectors have
+    * true positives to find on any scale factor. */
+  def withPerturbedCopies(docs: DataFrame): DataFrame = {
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      substring(col("text"), 11, 1000000).as("text"))
+    docs.select("doc_id", "text").unionByName(copies)
+  }
+
+  /** Deterministic ANN query vector: the embedding of the smallest vec_id. */
+  def queryVec(emb: DataFrame): Array[Double] = {
+    val row = emb.orderBy("vec_id").select("embedding").head()
+    row.getSeq[Float](0).map(_.toDouble).toArray
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val nullSkip = (c: String) =>
+    s"$c IS NOT NULL AND CAST($c AS VARCHAR) <> '' AND CAST($c AS VARCHAR) <> 'NULL'"
+
+  private val toks = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+  private def swCount(words: Seq[String]) =
+    s"CAST(len(list_filter($toks, x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER)"
+
+  private val enC = swCount(Seq("the", "a", "and", "of", "to", "in", "is"))
+  private val deC = swCount(Seq("der", "die", "das", "und", "ist", "ein"))
+  private val frC = swCount(Seq("le", "la", "et", "est", "un", "une"))
+  private val esC = swCount(Seq("el", "la", "y", "es", "un", "una"))
+  private val allSw = swCount(TextOps.langStopwords.flatMap(_._2).distinct)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity > 30",
+
+    "q_nullskip" ->
+      s"SELECT doc_id, text, lang FROM documents WHERE ${nullSkip("text")} AND ${nullSkip("lang")}",
+
+    "q_dedup" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_hash_join" ->
+      "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey",
+
+    "q_join_agg" ->
+      "SELECT n_name, count(*) AS n_customers, max(c_acctbal) AS max_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+
+    "q1_agg" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus",
+
+    "q_create_template" ->
+      "SELECT p_partkey, '<http://ex.org/part/' || p_partkey || '/' || replace(p_name, ' ', '%20') || '>' AS term FROM part",
+
+    "q_create_literal" ->
+      "SELECT l_orderkey, l_linenumber, '\"' || CAST(l_quantity AS VARCHAR) || '\"^^<http://www.w3.org/2001/XMLSchema#decimal>' AS term FROM lineitem",
+
+    "q_create_blanknode" ->
+      "SELECT c_custkey, '_:' || replace(c_name, '#', '') AS term FROM customer",
+
+    "q_format_ntriples" ->
+      "SELECT '<http://ex.org/supplier/' || s_suppkey || '> <http://ex.org/name> \"' || s_name || '\" .' AS line FROM supplier",
+
+    "q_union_distinct" ->
+      ("SELECT DISTINCT s, p, o FROM (" +
+        "SELECT '<http://ex.org/geo/' || replace(r_name, ' ', '%20') || '>' AS s, '<http://ex.org/label>' AS p, '\"' || r_name || '\"' AS o FROM region " +
+        "UNION ALL " +
+        "SELECT '<http://ex.org/geo/' || replace(n_name, ' ', '%20') || '>' AS s, '<http://ex.org/label>' AS p, '\"' || n_name || '\"' AS o FROM nation)"),
+
+    "q_constant_fold" ->
+      "SELECT '<http://ex.org/s>' AS s, '<http://ex.org/p>' AS p, '\"v\"' AS o",
+
+    "q_lww_dedup" ->
+      "SELECT user_id, event_id, event_type, value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t WHERE rn = 1",
+
+    "q_json_source" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+
+    "q_window" ->
+      "SELECT event_id, user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rn FROM events",
+
+    "q_topk" ->
+      "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10",
+
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+
+    "q_outer_join_agg" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+
+    "q_doc_exact_dedup" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+
+    "q_doc_tokens" ->
+      (s"SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_tokens, " +
+        s"CAST(list_sum(list_apply($toks, x -> CAST(ceil(length(x) / 4.0) AS INTEGER))) AS INTEGER) AS n_subtokens FROM documents"),
+
+    "q_doc_quality" ->
+      (s"SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m, CAST(len($toks) AS INTEGER) AS n_tokens, " +
+        s"$allSw AS n_stopwords, " +
+        s"(length(text) BETWEEN 20 AND 100000 AND len($toks) BETWEEN 5 AND 20000 AND $allSw >= 1) AS quality_ok " +
+        "FROM documents"),
+
+    "q_doc_langid" ->
+      (s"SELECT doc_id, CASE WHEN $enC = 0 AND $deC = 0 AND $frC = 0 AND $esC = 0 THEN 'und' " +
+        s"WHEN $enC >= $deC AND $enC >= $frC AND $enC >= $esC THEN 'en' " +
+        s"WHEN $deC >= $frC AND $deC >= $esC THEN 'de' " +
+        s"WHEN $frC >= $esC THEN 'fr' ELSE 'es' END AS lang_guess FROM documents"),
+
+    "q_emb_topk" ->
+      ("SELECT vec_id, CAST(rank AS INTEGER) AS rank FROM (SELECT vec_id, row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)) DESC, vec_id ASC" +
+        ") AS rank FROM embeddings) WHERE rank <= 10"))
+}

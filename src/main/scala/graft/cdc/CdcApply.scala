@@ -27,10 +27,20 @@ import org.apache.spark.sql.functions._
 object CdcApply {
 
   final case class Options(
-      /** >1 enables the two-stage salted LWW aggregation. */
-      saltBuckets: Int = 8,
+      /** >1 enables the two-stage salted LWW aggregation inside the MERGE —
+        * use when single keys are genuinely hot (a key holding a large
+        * fraction of a batch). The default assumes key-level skew is mild
+        * (a hot *conversation* spreads over its turn_idx values); the salt
+        * stage doubles aggregation work when skew is absent. */
+      saltBuckets: Int = 1,
       /** extra write-parallelism per bucket inside the MERGE. */
-      mergeSaltPartitions: Int = 4)
+      mergeSaltPartitions: Int = 4,
+      /** pre-aggregate the batch before the MERGE. Off by default: the
+        * MERGE's own LWW over cur∪batch already collapses in-batch
+        * duplicates in the same shuffle — a separate pre-dedup pass only
+        * pays off when batches carry heavy duplication and the table is
+        * much larger than the batch. */
+      preDedup: Boolean = false)
 
   /** Validation: key/meta columns always required; payload columns only for
     * non-deletes. ""/"NULL" are treated as missing (reference
@@ -45,8 +55,10 @@ object CdcApply {
   /** Rows rejected by validation — the dead-letter stream. */
   def deadLetters(events: DataFrame): DataFrame = events.filter(!validationFilter)
 
-  /** Normalize a raw event batch to the table-write shape:
-    * public columns + (_lsn, _op), one row per key, max-lsn wins. */
+  /** Normalize a raw event batch to the table-write shape: public columns
+    * + (_lsn, _op). With `preDedup` also collapses to one max-lsn row per
+    * key; otherwise the MERGE's own LWW aggregation does that in the same
+    * shuffle as the table merge. */
   def prepareBatch(events: DataFrame, opts: Options = Options()): DataFrame = {
     val hasTool = events.columns.contains("tool")
     val withTool = if (hasTool) events else events.withColumn("tool", lit(null).cast("string"))
@@ -61,7 +73,8 @@ object CdcApply {
         col("ts").cast("timestamp").as("ts"),
         col("lsn").cast("long").as("_lsn"),
         col("op").cast("string").as("_op"))
-    lwwDedup(projected, Model.keyCols, opts.saltBuckets)
+    if (opts.preDedup) lwwDedup(projected, Model.keyCols, opts.saltBuckets)
+    else projected
   }
 
   /** LSN-ordered last-writer-wins per key. With `saltBuckets>1` runs the
@@ -88,20 +101,32 @@ object CdcApply {
   def applyBatch(table: LakeTable, events: DataFrame, batchId: Long,
       opts: Options = Options()): Long = {
     val t0 = System.nanoTime()
-    val batch = prepareBatch(events, opts)
-    // lineage stats per table partition (bucket) — one pass, small result
-    val stats = batch
-      .groupBy(table.bucketOf(col("conv_id")).as("bucket"))
-      .agg(count(lit(1)).as("n"), min("_lsn").as("lo"), max("_lsn").as("hi"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    val applied = table.merge(batch, Model.keyCols, batchId,
-      saltPartitions = opts.mergeSaltPartitions)
-    val durMs = (System.nanoTime() - t0) / 1000000
-    if (applied) {
-      table.appendLineage(batchId, stats, durMs)
-      stats.map(_._2).sum
-    } else 0L
+    // the prepared batch feeds two jobs (lineage stats + merge write).
+    // With preDedup the pipeline contains an aggregation worth caching;
+    // without it the pipeline is a narrow scan+filter+project — cheaper to
+    // recompute than to materialize a cache copy of the whole batch.
+    val prepared = prepareBatch(events, opts)
+    val batch = if (opts.preDedup)
+      prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else prepared
+    try {
+      // lineage stats per table partition (bucket) — small result, and its
+      // bucket set doubles as the merge's affected-bucket hint
+      val stats = batch
+        .groupBy(table.bucketOf(col("conv_id")).as("bucket"))
+        .agg(count(lit(1)).as("n"), min("_lsn").as("lo"), max("_lsn").as("hi"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val applied = table.merge(batch, Model.keyCols, batchId,
+        saltPartitions = opts.mergeSaltPartitions,
+        affectedHint = Some(stats.map(_._1).toSet),
+        saltBuckets = opts.saltBuckets)
+      val durMs = (System.nanoTime() - t0) / 1000000
+      if (applied) {
+        table.appendLineage(batchId, stats, durMs)
+        stats.map(_._2).sum
+      } else 0L
+    } finally if (opts.preDedup) batch.unpersist(blocking = false)
   }
 
   /** Batch replay: apply a sequence of log-segment directories in order.

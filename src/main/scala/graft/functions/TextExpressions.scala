@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.{GraftShim => EU}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the training-data pipeline primitives
+ * (dedup signatures, fingerprints, embedding similarity). Each generates a
+ * single static Java call so the whole document pipeline stays inside one
+ * WholeStageCodegen span — the codegen-friendly alternative to Scala UDFs
+ * or interpreted higher-order functions.
+ */
+case class MinHashSigExpr(child: Expression, k: Int, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.minHashSig(v.asInstanceOf[UTF8String].toString, k, n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.minHashSig($c.toString(), $k, $n, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class SimHash64Expr(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.simHash64(v.asInstanceOf[UTF8String].toString, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simHash64($c.toString(), ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+case class RollingFingerprintExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.rollingFingerprint(v.asInstanceOf[UTF8String].toString, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.rollingFingerprint($c.toString(), $k)")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprintExpr = copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+case class ShingleHashesExpr(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.shingleHashes(v.asInstanceOf[UTF8String].toString, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.shingleHashes($c.toString(), $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+case class HammingDistExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}
+
+/** Cosine similarity of an `array<float>` column against a fixed query
+  * vector (the brute-force ANN baseline). The query array rides along as a
+  * codegen reference object. */
+case class CosineToQueryExpr(child: Expression, query: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.cosineToQuery(v.asInstanceOf[ArrayData], query)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val q = ctx.addReferenceObj("graftQuery", query, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorMath.cosineToQuery($c, $q)")
+  }
+  override protected def withNewChildInternal(c: Expression): CosineToQueryExpr = copy(child = c)
+  override def prettyName: String = "cosine_to_query"
+}
+
+/** Sign-bit random-hyperplane LSH bucket id for an `array<float>` vector. */
+case class SignLshBucketExpr(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.signLshBucket(v.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorMath.signLshBucket($c, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SignLshBucketExpr = copy(child = c)
+  override def prettyName: String = "sign_lsh_bucket"
+}
+
+/** Column-level API. */
+object TextFunctions {
+  def minhash_sig(c: Column, k: Int = 5, n: Int = 128, seed: Long = 42L): Column =
+    EU.column(MinHashSigExpr(EU.expression(c), k, n, seed))
+  def simhash64(c: Column, seed: Long = 42L): Column =
+    EU.column(SimHash64Expr(EU.expression(c), seed))
+  def rolling_fingerprint(c: Column, k: Int = 16): Column =
+    EU.column(RollingFingerprintExpr(EU.expression(c), k))
+  def shingle_hashes(c: Column, k: Int = 5, seed: Long = 42L): Column =
+    EU.column(ShingleHashesExpr(EU.expression(c), k, seed))
+  def hamming64(a: Column, b: Column): Column =
+    EU.column(HammingDistExpr(EU.expression(a), EU.expression(b)))
+  def cosine_to_query(c: Column, query: Array[Double]): Column =
+    EU.column(CosineToQueryExpr(EU.expression(c), query))
+  def sign_lsh_bucket(c: Column, bits: Int = 16, seed: Long = 42L): Column =
+    EU.column(SignLshBucketExpr(EU.expression(c), bits, seed))
+}

@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/**
+ * Static one-pass implementations of the document-pipeline hash primitives
+ * (deduplication / fingerprinting for large-scale training-data curation).
+ * Called from both the interpreted eval and the generated Java of the
+ * Catalyst expressions in [[TextExpressions]] — one static call per row
+ * keeps the work inside whole-stage codegen and avoids per-row allocation
+ * of higher-order-function closures.
+ *
+ * All hashing is seeded and self-contained (splitmix64 + FNV-style
+ * accumulation) so results are identical at any parallelism.
+ */
+object TextHashes {
+
+  /** splitmix64 — standard public-domain mix. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit hash of a char range [from, until) of s, seeded. */
+  def hashRange(s: String, from: Int, until: Int, seed: Long): Long = {
+    var h = mix64(seed)
+    var i = from
+    while (i < until) { h = mix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  /** MinHash signature over character k-shingles: for each of `n` hash
+    * families, the minimum over all shingles of mix(a_i*h + b_i).
+    * Returns long[n]. Documents shorter than k get the signature of the
+    * whole string (degenerate single shingle). */
+  private val abCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), (Array[Long], Array[Long])]()
+
+  private def affineParams(seed: Long, n: Int): (Array[Long], Array[Long]) =
+    abCache.computeIfAbsent((seed, n), { case (s, m) =>
+      val a = Array.tabulate(m)(i => mix64(s + 2L * i + 1L) | 1L) // odd multiplier
+      val b = Array.tabulate(m)(i => mix64(s + 2L * i + 2L))
+      (a, b)
+    })
+
+  def minHashSig(text: String, k: Int, n: Int, seed: Long): ArrayData = {
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val len = text.length
+    val effK = math.min(k, math.max(1, len))
+    val last = math.max(0, len - effK)
+    val (as, bs) = affineParams(seed, n)
+    var i = 0
+    var pos = 0
+    while (pos <= last) {
+      val h = hashRange(text, pos, pos + effK, seed)
+      i = 0
+      while (i < n) {
+        val v = mix64(as(i) * h + bs(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      pos += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: sum per-bit votes of each
+    * token's hash, sign → bit. */
+  def simHash64(text: String, seed: Long): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && isSpace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(text.charAt(i))) i += 1
+      if (i > start) {
+        val h = hashRange(text, start, i, seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Rolling-hash document fingerprint (winnowing-lite): the minimum
+    * polynomial rolling hash over all char k-windows — robust to
+    * appending/prepending content, cheap single pass. */
+  def rollingFingerprint(text: String, k: Int): Long = {
+    val n = text.length
+    if (n == 0) return 0L
+    val effK = math.min(k, n)
+    val B = 1000003L
+    var pow = 1L // B^(effK-1)
+    var i = 1
+    while (i < effK) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < effK) { h = h * B + text.charAt(i).toLong; i += 1 }
+    var minH = mix64(h)
+    i = effK
+    while (i < n) {
+      h = (h - text.charAt(i - effK).toLong * pow) * B + text.charAt(i).toLong
+      val m = mix64(h)
+      if (m < minH) minH = m
+      i += 1
+    }
+    minH
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Character k-shingle set as sorted distinct hashes — used for exact
+    * n-gram Jaccard verification of near-dup candidates. */
+  def shingleHashes(text: String, k: Int, seed: Long): ArrayData = {
+    val len = text.length
+    val effK = math.min(k, math.max(1, len))
+    val last = math.max(0, len - effK)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var pos = 0
+    while (pos <= last) {
+      set.add(hashRange(text, pos, pos + effK, seed))
+      pos += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Static vector math for embedding similarity — double-precision
+  * sequential accumulation (deterministic, order-fixed). */
+object VectorMath {
+  /** Cosine similarity of a float-array column value against a fixed
+    * query vector. */
+  def cosineToQuery(v: ArrayData, q: Array[Double]): Double = {
+    val n = math.min(v.numElements(), q.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val a = v.getFloat(i).toDouble
+      val b = q(i)
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-bit LSH bucket of a vector under `bits` pseudo-random
+    * hyperplanes derived from the seed (component j of plane b =
+    * mix64(seed, b, j) scaled to [-1,1]). */
+  def signLshBucket(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val r = TextHashes.mix64(seed + b.toLong * 131071L + j.toLong)
+        val plane = (r.toDouble / Long.MaxValue.toDouble) // [-1,1]
+        dot += v.getFloat(j).toDouble * plane
+        j += 1
+      }
+      if (dot >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

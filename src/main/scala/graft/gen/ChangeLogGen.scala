@@ -79,7 +79,8 @@ object ChangeLogGen {
   /** Write the log as ordered parquet segment files under `dir`. Segments
     * before the evolution point use the v1 schema (no `tool` column) —
     * exercises evolve-then-apply. Returns segment paths in log order. */
-  def writeLog(spark: SparkSession, dir: String, cfg: Config, numSegments: Int): Seq[String] = {
+  def writeLog(spark: SparkSession, dir: String, cfg: Config, numSegments: Int,
+      filesPerSegment: Int = 32): Seq[String] = {
     val evolveAt = (cfg.numEvents * cfg.evolveFrac).toLong
     val per = math.max(1L, cfg.numEvents / numSegments)
     // segment boundaries snapped to include the evolution point, so every
@@ -90,8 +91,10 @@ object ChangeLogGen {
     bounds.zipWithIndex.map { case ((lo, hi), i) =>
       val seg = f"$dir/segment-$i%05d"
       val withTool = lo >= evolveAt
+      // file count bounds the scan (and map-side LWW) parallelism of each
+      // micro-batch — write enough splits to feed every core
       events(spark, cfg, lo, hi, withToolCol = withTool)
-        .repartition(4)
+        .repartition(filesPerSegment)
         .write.mode("overwrite").parquet(seg)
       seg
     }

@@ -149,7 +149,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     *
     * Returns false if `batchId` was already applied (idempotent replay). */
   def merge(batch: DataFrame, keyCols: Seq[String], batchId: Long,
-      saltPartitions: Int = 0): Boolean = {
+      saltPartitions: Int = 0, affectedHint: Option[Set[Int]] = None,
+      saltBuckets: Int = 1): Boolean = {
     val s0 = currentSnapshot
     if (s0.appliedBatchIds.contains(batchId)) return false
 
@@ -168,29 +169,38 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     }.select(tableCols.map(col).toSeq: _*)
       .withColumn("_bucket", bucketOf(col(keyCols.head)))
 
-    val affected: Set[Int] =
-      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+    // the caller usually already knows the touched buckets (lineage stats
+    // pass) — avoid an extra full pass over the batch
+    val affected: Set[Int] = affectedHint.getOrElse(
+      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
     val cur = readBuckets(s, Some(affected))
       .withColumn("_bucket", bucketOf(col(keyCols.head)))
 
     val all = cur.unionByName(aligned)
-    val keyStruct = keyCols.map(col)
-    // cross-batch LWW: single max_by per key (map-side partial agg keeps
-    // the hot-key shuffle small; see CdcApply for the in-batch salted stage)
-    val merged = all
-      .groupBy(keyStruct: _*)
-      .agg(max_by(struct((tableCols :+ "_bucket").map(col).toSeq: _*), col("_lsn")).as("r"))
-      .select((tableCols :+ "_bucket").map(n => col(s"r.$n").as(n)): _*)
+    // cross-batch LWW: one max_by per key over cur∪batch — in-batch
+    // duplicates, late events and existing rows resolve in a single
+    // aggregation (map-side partial agg collapses duplicate keys before
+    // the exchange; saltBuckets>1 adds the two-stage salted variant for
+    // genuinely hot keys)
+    val merged = graft.cdc.CdcApply.lwwDedup(all, keyCols, saltBuckets)
 
     // rewrite affected buckets; salt the write shuffle so a hot bucket is
-    // written by multiple tasks (hot-conversation skew, north_star)
+    // written by multiple tasks (hot-conversation skew, north_star). The
+    // salt factor adapts: salting costs one parquet file per extra task,
+    // so only split buckets when there are fewer affected buckets than
+    // cores (skewed/hot-key batches) — a full-width batch already keeps
+    // every core busy with one task per bucket.
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = rootPath.resolve(s"data/commit-$commitId")
+    val nAffected = math.max(affected.size, 1)
+    val cores = spark.sparkContext.defaultParallelism
+    val saltFactor = math.max(1, math.min(saltPartitions,
+      math.ceil(cores.toDouble / nAffected).toInt))
     val writeDf =
-      if (saltPartitions > 0)
-        merged.repartition(math.max(affected.size, 1) * saltPartitions,
-          col("_bucket"), pmod(xxhash64(col(keyCols.last)), lit(saltPartitions)))
-      else merged.repartition(math.max(affected.size, 1), col("_bucket"))
+      if (saltFactor > 1)
+        merged.repartition(nAffected * saltFactor,
+          col("_bucket"), pmod(xxhash64(col(keyCols.last)), lit(saltFactor)))
+      else merged.repartition(nAffected, col("_bucket"))
     writeDf.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
 
     // enumerate new files per bucket

@@ -1,0 +1,103 @@
+package graft.rml
+
+import graft.rules.RdfEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end RML execution — the engine's equivalents of the reference's
+ * two entry points:
+ *
+ *  - CLI `flexrml -m mapping.ttl -o out.nt` (flexcore.py:307-367)
+ *    → [[RmlMapper.executeToFile]]
+ *  - library `flexrml.execute(mapping_source=…, data={…})`
+ *    (flexcore.py:286-303) → [[RmlMapper.execute]] with `data` supplying
+ *    in-memory relations (here: DataFrames or raw CSV strings).
+ *
+ * Source semantics mirrored from the reference: CSV sources are read with
+ * a header row and every value as a string
+ * (simple_executor.cpp:380-422); JSON sources are iterated with the
+ * `rml:iterator` JSONPath, each match one row, scalar matches becoming a
+ * single `value` column (backend.py:408-447). Unlike the reference, JSON
+ * is NOT flattened to CSV text — it stays a native nested DataFrame and
+ * the iterator compiles to getField/explode.
+ */
+object RmlMapper {
+
+  /** Run a mapping over file-based sources; returns (s,p,o,g) rows. */
+  def execute(spark: SparkSession, mappingTtl: String,
+      data: Map[String, DataFrame] = Map.empty,
+      baseIri: String = "http://example.com/base/",
+      nowIso: () => String = null): DataFrame = {
+    val compiled =
+      if (nowIso == null) RmlCompiler.compile(mappingTtl)
+      else RmlCompiler.compile(mappingTtl, nowIso)
+    val sources: Map[String, DataFrame] = compiled.sources.map { case (name, spec) =>
+      // in-memory relations take precedence (library mode), matched by
+      // path/name as in the reference's {relation_name: data} map
+      val df = data.get(spec.path).orElse(data.get(name)) match {
+        case Some(d) => d
+        case None => loadSource(spark, spec)
+      }
+      name -> df
+    }
+    RdfEngine.execute(compiled.rules, sources, baseIri)
+  }
+
+  /** CLI-equivalent: write N-Triples/N-Quads text output. */
+  def executeToFile(spark: SparkSession, mappingTtl: String, outPath: String,
+      baseIri: String = "http://example.com/base/"): Unit =
+    RdfEngine.serialize(execute(spark, mappingTtl, baseIri = baseIri))
+      .coalesce(1).write.mode("overwrite").text(outPath)
+
+  def loadSource(spark: SparkSession, spec: RmlCompiler.SourceSpec): DataFrame = {
+    val path = spec.path
+    if (path.endsWith(".json")) loadJson(spark, path, spec.iterator)
+    else
+      // header = schema, all strings (reference simple_executor.cpp:380-388)
+      spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+  }
+
+  /** Apply a JSONPath-subset iterator (`$.a.b[*].c`) to a JSON document:
+    * each match = one row; object matches widen to columns (union of keys
+    * via Spark schema inference); scalar matches become column `value`
+    * (reference backend.py:408-447). */
+  def loadJson(spark: SparkSession, path: String, iterator: Option[String]): DataFrame = {
+    // multiLine handles a whole JSON document (object or array) per file
+    val root = spark.read.option("multiLine", "true").json(path)
+    iterator match {
+      case None | Some("$") => root
+      case Some(it) =>
+        parseJsonPath(it).foldLeft(root) { (df, seg) =>
+          seg match {
+            case ArraySeg(name) if name.isEmpty =>
+              df // top-level array: Spark's json reader already row-izes it
+            case ArraySeg(name) =>
+              val exploded = df.select(explode(col(name)).as("_row"))
+              exploded.schema.head.dataType match {
+                case _: org.apache.spark.sql.types.StructType =>
+                  exploded.select("_row.*") // object match → union-of-keys columns
+                case _ =>
+                  exploded.select(col("_row").cast("string").as("value")) // scalar match
+              }
+            case FieldSeg(name) => df.select(col(name + ".*"))
+          }
+        }
+    }
+  }
+
+  private sealed trait Seg
+  private final case class FieldSeg(name: String) extends Seg
+  private final case class ArraySeg(name: String) extends Seg
+
+  /** Parse the `$.students[*]`-style subset (the shapes the reference
+    * handles after its `$.`/bracket stripping, flexcore.py:261-264). */
+  private def parseJsonPath(p: String): Seq[Seg] = {
+    val trimmed = p.stripPrefix("$").stripPrefix(".")
+    if (trimmed.isEmpty) Nil
+    else trimmed.split('.').toSeq.filter(_.nonEmpty).map { seg =>
+      if (seg.endsWith("[*]")) ArraySeg(seg.dropRight(3))
+      else FieldSeg(seg)
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-quality assertions — the 100 TB posture checks (SURVEY.md §4,
+ * build brief "Optimize for scale"): filters and projections must reach
+ * the parquet scan, small dims must broadcast, custom expressions must not
+ * break whole-stage codegen, top-k must not global-sort.
+ */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project: filter + projection pushed to parquet scan") {
+    val df = Queries.queries("q_scan_project")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string"),
+      s"projection not pruned:\n$plan")
+  }
+
+  test("q_hash_join broadcasts the dim side (no shuffle of the fact side)") {
+    val plan = executed(Queries.queries("q_hash_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("custom rdf expressions stay inside WholeStageCodegen") {
+    val df = Queries.queries("q_create_template")(spark, sf)
+    // the project containing safe_iri must live under a WholeStageCodegen
+    // span (rendered as `*(n)` in plan strings), not a fallback Project
+    val codegenSpans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(codegenSpans.exists(_.contains("safe_iri")),
+      s"safe_iri not inside codegen span:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("text hash expressions are codegen'd too") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.TextFunctions.simhash64(col("text")).as("h"))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(spans.exists(_.contains("simhash64")), df.queryExecution.executedPlan.toString)
+  }
+
+  test("q_topk uses TakeOrderedAndProject (no global sort)") {
+    val plan = Queries.queries("q_topk")(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("constant-only rule folds: no scan at all in optimized plan") {
+    val df = Queries.queries("q_constant_fold")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("parquet"), opt)
+    assert(!opt.contains("concat"), s"constants not folded:\n$opt")
+  }
+
+  test("LWW dedup uses partial aggregation (map-side combine before shuffle)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id").as("_lsn"), col("event_type"))
+    val out = graft.cdc.CdcApply.lwwDedup(ev, Seq("user_id"), saltBuckets = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    // map-side combine: a partial max_by must run BEFORE the exchange so
+    // duplicate keys collapse locally (max_by's struct buffer forces
+    // SortAggregate rather than HashAggregate — the partial stage is what
+    // bounds the shuffle volume at scale)
+    assert(plan.contains("partial_max_by"), plan)
+    assert(plan.contains("Exchange hashpartitioning(user_id"), plan)
+  }
+
+  test("rdf engine per-scan dedup happens before the join (plan shape)") {
+    import spark.implicits._
+    val child = Seq(("a", "k1"), ("b", "k2")).toDF("v", "k")
+    val parent = Seq(("k1", "x")).toDF("k", "w")
+    val rule = graft.rules.MappingRule("m", "c", graft.rules.TripleRule(
+      graft.rules.TermRule(graft.rules.TermMap.Template("s/{c_v}"), graft.rules.TermKind.Iri),
+      graft.rules.TermRule(graft.rules.TermMap.Constant("http://p"), graft.rules.TermKind.Iri),
+      graft.rules.TermRule(graft.rules.TermMap.Reference("p_w"), graft.rules.TermKind.Lit())),
+      join = Some(graft.rules.JoinSpec("p", "k", "k")))
+    val out = graft.rules.RdfEngine.executeOne(rule, Map("c" -> child, "p" -> parent))
+    assert(out.collect().length == 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

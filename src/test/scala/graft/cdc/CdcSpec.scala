@@ -110,7 +110,7 @@ class CdcSpec extends SparkSpec {
       (3L, "I", "c2", 1, "user", "only")
     ).toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
       .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
-    val out = CdcApply.prepareBatch(df, CdcApply.Options(saltBuckets = 4))
+    val out = CdcApply.prepareBatch(df, CdcApply.Options(saltBuckets = 4, preDedup = true))
       .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().toSet
     assert(out == Set(("c1", 0, "new"), ("c2", 1, "only")))
   }

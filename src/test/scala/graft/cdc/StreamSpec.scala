@@ -1,0 +1,89 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+import graft.model.Model
+
+/** Structured Streaming front: exactly-once across restart, mid-replay
+  * kill, idempotent re-delivery (SURVEY.md §5.3). */
+class StreamSpec extends SparkSpec {
+
+  private def finalStateOf(table: LakeTable): Map[(String, Int), (String, String)] =
+    table.read().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3))))
+      .toMap
+
+  test("streaming apply equals batch oracle; restart from checkpoint is a no-op") {
+    val cfg = ChangeLogGen.Config(numEvents = 12000, numConversations = 80, maxTurns = 16)
+    val logDir = tmpDir("stream-log")
+    val ckDir = tmpDir("stream-ck")
+    val tableDir = tmpDir("stream-table")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 4)
+
+    val table = new LakeTable(spark, tableDir, numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    CdcStream.runOnce(spark, logDir, table, ckDir, maxFilesPerTrigger = 16)
+
+    val events = ChangeLogGen.events(spark, cfg).collect().toSeq.map { r =>
+      Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
+    }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    assert(finalStateOf(table) == expect)
+
+    // restart: same checkpoint, no new data → no state change, no new version
+    val v1 = table.currentSnapshot.version
+    CdcStream.runOnce(spark, logDir, table, ckDir, maxFilesPerTrigger = 16)
+    assert(finalStateOf(table) == expect)
+    assert(table.currentSnapshot.version == v1, "restart with no new data must not commit")
+  }
+
+  test("kill mid-replay, restart from checkpoint: final state correct, no duplicates") {
+    val cfg = ChangeLogGen.Config(numEvents = 12000, numConversations = 80, maxTurns = 16)
+    val logDir = tmpDir("kill-log")
+    val ckDir = tmpDir("kill-ck")
+    val tableDir = tmpDir("kill-table")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 6)
+
+    val table = new LakeTable(spark, tableDir, numBuckets = 4)
+    table.create(Model.transcriptSchema)
+
+    // phase 1: stop the query after the first micro-batch completes (the
+    // "kill": query terminated while most of the log is unprocessed)
+    val q1 = CdcStream.start(spark, logDir, table, ckDir, maxFilesPerTrigger = 4)
+    var waited = 0
+    while (q1.recentProgress.length < 1 && waited < 300) { Thread.sleep(100); waited += 1 }
+    q1.stop(); q1.awaitTermination()
+    val midRows = table.read().count()
+
+    // phase 2: restart from the same checkpoint; must resume, not redo
+    CdcStream.runOnce(spark, logDir, table, ckDir, maxFilesPerTrigger = 4)
+
+    val events = ChangeLogGen.events(spark, cfg).collect().toSeq.map { r =>
+      Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
+    }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    val got = finalStateOf(table)
+    assert(got == expect, s"mid=$midRows got=${got.size} expect=${expect.size}")
+    // exactly-once: applied batch ids are unique (no double apply)
+    val applied = table.currentSnapshot.appliedBatchIds
+    assert(applied.size == applied.toSeq.distinct.size)
+  }
+
+  test("replayed micro-batch (same batchId) is a no-op — foreachBatch retry safety") {
+    import spark.implicits._
+    val tableDir = tmpDir("retry-table")
+    val table = new LakeTable(spark, tableDir, numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    def batch = Seq((1L, "I", "c1", 0, "user", "hello"))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    assert(CdcApply.applyBatch(table, batch, 7L) == 1L)
+    val v = table.currentSnapshot.version
+    assert(CdcApply.applyBatch(table, batch, 7L) == 0L) // replay of same batch id
+    assert(table.currentSnapshot.version == v)
+    assert(table.read().count() == 1)
+  }
+}

