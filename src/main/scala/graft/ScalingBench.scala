@@ -35,21 +35,38 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val numEvents = args.headOption.map(_.toLong).getOrElse(8000000L)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
-    val (n, n4) = (8, 32)
+    // N and 4N parallelism; 8/32 by default (the box's full width). 4/16
+    // is a useful second pair: ≤16 threads stay on physical cores, so it
+    // isolates the engine's scaling from the host's SMT ceiling.
+    val n = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val n4 = args.drop(3).headOption.map(_.toInt).getOrElse(4 * n)
     val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString
 
-    def measure(cores: Int): (Double, Double) = {
+    def loadAvg: String = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
+    } catch { case _: Throwable => "?" }
+
+    def once(cores: Int, warm: Boolean): (Double, Double) = {
       val s = session(cores)
       val segments = Bench.genLog(s, work, numEvents, 8)
-      Bench.replayOnce(s, segments, numEvents, buckets = 32) // warm-up
-      val runs = (1 to reps).map(_ => Bench.replayOnce(s, segments, numEvents, buckets = 32))
+      if (warm) Bench.replayOnce(s, segments, numEvents, buckets = 32)
+      val r = Bench.replayOnce(s, segments, numEvents, buckets = 32)
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      runs.minBy(_._1)
+      r
     }
 
-    val (secN, epsN) = measure(n)
-    val (sec4N, eps4N) = measure(n4)
+    // interleave the two levels so co-tenant noise (observed 2-4× swings
+    // on this host) hits both equally; best-of-N approximates the
+    // uncontended machine
+    val runs = (1 to reps).flatMap { rep =>
+      val a = once(n, warm = rep == 1)
+      val b = once(n4, warm = rep == 1)
+      System.err.println(f"[scaling] rep $rep load=$loadAvg local[$n]=${a._2}%.0f eps local[$n4]=${b._2}%.0f eps")
+      Seq((n, a), (n4, b))
+    }
+    val (secN, epsN) = runs.filter(_._1 == n).map(_._2).minBy(_._1)
+    val (sec4N, eps4N) = runs.filter(_._1 == n4).map(_._2).minBy(_._1)
     Bench.deleteRec(work)
 
     val efficiency = (eps4N / epsN) / (n4.toDouble / n)

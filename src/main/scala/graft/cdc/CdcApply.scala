@@ -40,7 +40,9 @@ object CdcApply {
         * duplicates in the same shuffle — a separate pre-dedup pass only
         * pays off when batches carry heavy duplication and the table is
         * much larger than the batch. */
-      preDedup: Boolean = false)
+      preDedup: Boolean = false,
+      /** single-exchange sorted merge (see LakeTable.merge). */
+      sortedMerge: Boolean = true)
 
   /** Validation: key/meta columns always required; payload columns only for
     * non-deletes. ""/"NULL" are treated as missing (reference
@@ -96,6 +98,45 @@ object CdcApply {
     } else reduceOnce(df, key)
   }
 
+  /** Single-exchange LWW dedup: repartition once by (partition expr,
+    * salted key) — every row of a key lands in one task — then sort within
+    * partitions by (key, lsn desc) and keep the first row per key in one
+    * streaming pass. Halves the shuffle volume vs groupBy+repartition
+    * (one exchange instead of two, no aggregation buffers) at the cost of
+    * a row-encoder round trip in the keep-first pass.
+    *
+    * `partitionExprs` rides along so the output partitioning satisfies a
+    * downstream partitioned write (e.g. the lake bucket column). */
+  def lwwDedupSorted(df: DataFrame, keyCols: Seq[String],
+      partitionExprs: Seq[Column], numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val lsnIdx = schema.fieldIndex("_lsn")
+    val shuffled = df
+      .repartition(numPartitions, partitionExprs: _*)
+      .sortWithinPartitions(
+        partitionExprs.map(_.asc) ++ keyCols.map(col(_).asc) :+ col("_lsn").desc: _*)
+    shuffled.mapPartitions { rows =>
+      new Iterator[Row] {
+        private var nextRow: Row = _
+        private var lastKey: Seq[Any] = null
+        private val it = rows
+        advance()
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && it.hasNext) {
+            val r = it.next()
+            val k = keyIdx.map(r.get)
+            if (k != lastKey) { lastKey = k; nextRow = r }
+          }
+        }
+        override def hasNext: Boolean = nextRow != null
+        override def next(): Row = { val r = nextRow; advance(); r }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Apply one micro-batch into the table. Returns number of upsert rows
     * applied (0 when the batch was already applied — idempotent). */
   def applyBatch(table: LakeTable, events: DataFrame, batchId: Long,
@@ -120,7 +161,7 @@ object CdcApply {
       val applied = table.merge(batch, Model.keyCols, batchId,
         saltPartitions = opts.mergeSaltPartitions,
         affectedHint = Some(stats.map(_._1).toSet),
-        saltBuckets = opts.saltBuckets)
+        saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge)
       val durMs = (System.nanoTime() - t0) / 1000000
       if (applied) {
         table.appendLineage(batchId, stats, durMs)

@@ -150,7 +150,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * Returns false if `batchId` was already applied (idempotent replay). */
   def merge(batch: DataFrame, keyCols: Seq[String], batchId: Long,
       saltPartitions: Int = 0, affectedHint: Option[Set[Int]] = None,
-      saltBuckets: Int = 1): Boolean = {
+      saltBuckets: Int = 1, sortedDedup: Boolean = true): Boolean = {
     val s0 = currentSnapshot
     if (s0.appliedBatchIds.contains(batchId)) return false
 
@@ -177,30 +177,33 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       .withColumn("_bucket", bucketOf(col(keyCols.head)))
 
     val all = cur.unionByName(aligned)
-    // cross-batch LWW: one max_by per key over cur∪batch — in-batch
-    // duplicates, late events and existing rows resolve in a single
-    // aggregation (map-side partial agg collapses duplicate keys before
-    // the exchange; saltBuckets>1 adds the two-stage salted variant for
-    // genuinely hot keys)
-    val merged = graft.cdc.CdcApply.lwwDedup(all, keyCols, saltBuckets)
 
-    // rewrite affected buckets; salt the write shuffle so a hot bucket is
-    // written by multiple tasks (hot-conversation skew, north_star). The
-    // salt factor adapts: salting costs one parquet file per extra task,
-    // so only split buckets when there are fewer affected buckets than
-    // cores (skewed/hot-key batches) — a full-width batch already keeps
-    // every core busy with one task per bucket.
+    // write layout: one task per affected bucket, salted wider when there
+    // are fewer affected buckets than cores (hot-conversation skew,
+    // north_star) — salting costs one parquet file per extra task, so a
+    // full-width batch stays at one task per bucket.
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = rootPath.resolve(s"data/commit-$commitId")
     val nAffected = math.max(affected.size, 1)
     val cores = spark.sparkContext.defaultParallelism
     val saltFactor = math.max(1, math.min(saltPartitions,
       math.ceil(cores.toDouble / nAffected).toInt))
+    val saltExpr = pmod(xxhash64(keyCols.map(col): _*), lit(saltFactor))
+
+    // cross-batch LWW over cur∪batch: in-batch duplicates, late events and
+    // existing rows resolve in ONE pass. Default path: single exchange by
+    // (bucket, salted key) + sort-within-partitions + streaming keep-first
+    // (CdcApply.lwwDedupSorted). Fallback: two-exchange groupBy max_by.
     val writeDf =
-      if (saltFactor > 1)
-        merged.repartition(nAffected * saltFactor,
-          col("_bucket"), pmod(xxhash64(col(keyCols.last)), lit(saltFactor)))
-      else merged.repartition(nAffected, col("_bucket"))
+      if (sortedDedup) {
+        val pexprs = if (saltFactor > 1) Seq(col("_bucket"), saltExpr) else Seq(col("_bucket"))
+        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, nAffected * saltFactor)
+      } else {
+        val merged = graft.cdc.CdcApply.lwwDedup(all, keyCols, saltBuckets)
+        if (saltFactor > 1)
+          merged.repartition(nAffected * saltFactor, col("_bucket"), saltExpr)
+        else merged.repartition(nAffected, col("_bucket"))
+      }
     writeDf.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
 
     // enumerate new files per bucket

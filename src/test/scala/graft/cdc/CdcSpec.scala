@@ -133,6 +133,21 @@ class CdcSpec extends SparkSpec {
     assert(rows.toSeq == Seq("back"))
   }
 
+  test("sorted single-exchange merge ≡ aggregate merge (same final state)") {
+    val cfg = ChangeLogGen.Config(numEvents = 8000, numConversations = 40, maxTurns = 12)
+    val logDir = tmpDir("ab-log")
+    val segments = ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 3)
+    def replay(sorted: Boolean): Map[(String, Int), (String, String)] = {
+      val table = new LakeTable(spark, tmpDir(s"ab-table-$sorted"), numBuckets = 4)
+      table.create(Model.transcriptSchema)
+      CdcApply.replay(spark, table, segments,
+        CdcApply.Options(sortedMerge = sorted, saltBuckets = if (sorted) 1 else 4))
+      table.read().collect()
+        .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+    }
+    assert(replay(sorted = true) == replay(sorted = false))
+  }
+
   test("lineage rows emitted per batch/bucket") {
     val tableDir = tmpDir("graft-table-lin")
     val table = new LakeTable(spark, tableDir, numBuckets = 2)
