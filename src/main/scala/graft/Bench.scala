@@ -65,10 +65,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // bench data is MBs; AQE's 64MB advisory size would coalesce every
+      // shuffle to 1-2 partitions and serialize the measurement
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // JVM/codegen warm-up so the first measured query doesn't pay it
+    try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -76,9 +82,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
-    // flagship: CDC replay throughput (1M events, 8 micro-batches)
-    val (replaySec, eps) = cdcReplay(spark, 1000000L, 8, buckets = 32)
-    results("cdc_replay_1m") = replaySec
+    // flagship: CDC replay throughput (2M events, 4 micro-batches)
+    val (replaySec, eps) = cdcReplay(spark, 2000000L, 4, buckets = 32)
+    results("cdc_replay_2m") = replaySec
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum

@@ -151,6 +151,31 @@ object Queries {
         .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n_orders"))
     }),
 
+    // distinct aggregation (engine extension)
+    "q_agg_distinct" -> ((s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("n_cust"))),
+
+    // rollup / grouping sets (engine extension)
+    "q_rollup" -> ((s, d) =>
+      T(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))),
+
+    // top-k per group (window + filter)
+    "q_topk_per_group" -> ((s, d) =>
+      T(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).as("rn"))
+        .filter(col("rn") <= 2)),
+
+    // SQL surface: native expressions registered in the function registry
+    "q_sql_safe_iri" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      T(s, d, "part").createOrReplaceTempView("part_v")
+      s.sql("SELECT p_partkey, safe_iri(p_name) AS enc FROM part_v")
+    }),
+
     // ---- training-data pipeline ----------------------------------------
     "q_doc_exact_dedup" -> ((s, d) =>
       TextOps.exactDedup(T(s, d, "documents"), "doc_id", "text")),
@@ -289,6 +314,19 @@ object Queries {
 
     "q_outer_join_agg" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+
+    "q_agg_distinct" ->
+      "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY o_orderpriority",
+
+    "q_rollup" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+
+    "q_topk_per_group" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 2"),
+
+    "q_sql_safe_iri" ->
+      "SELECT p_partkey, replace(p_name, ' ', '%20') AS enc FROM part",
 
     "q_doc_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",

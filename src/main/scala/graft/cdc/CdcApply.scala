@@ -161,7 +161,8 @@ object CdcApply {
       val applied = table.merge(batch, Model.keyCols, batchId,
         saltPartitions = opts.mergeSaltPartitions,
         affectedHint = Some(stats.map(_._1).toSet),
-        saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge)
+        saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge,
+        bucketWeights = stats.map(s => s._1 -> s._2).toMap)
       val durMs = (System.nanoTime() - t0) / 1000000
       if (applied) {
         table.appendLineage(batchId, stats, durMs)

@@ -150,7 +150,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * Returns false if `batchId` was already applied (idempotent replay). */
   def merge(batch: DataFrame, keyCols: Seq[String], batchId: Long,
       saltPartitions: Int = 0, affectedHint: Option[Set[Int]] = None,
-      saltBuckets: Int = 1, sortedDedup: Boolean = true): Boolean = {
+      saltBuckets: Int = 1, sortedDedup: Boolean = true,
+      bucketWeights: Map[Int, Long] = Map.empty): Boolean = {
     val s0 = currentSnapshot
     if (s0.appliedBatchIds.contains(batchId)) return false
 
@@ -186,9 +187,25 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val outDir = rootPath.resolve(s"data/commit-$commitId")
     val nAffected = math.max(affected.size, 1)
     val cores = spark.sparkContext.defaultParallelism
-    val saltFactor = math.max(1, math.min(saltPartitions,
+    // base salt: keep at least one task per core when few buckets are hit
+    val baseFactor = math.max(1, math.min(math.max(saltPartitions, 1),
       math.ceil(cores.toDouble / nAffected).toInt))
-    val saltExpr = pmod(xxhash64(keyCols.map(col): _*), lit(saltFactor))
+    // targeted skew salting (north_star: hot-conversation mitigation):
+    // a bucket holding k× the average batch weight gets ~k salt slices, so
+    // the merge's shuffle/sort/write tail is no longer the hot bucket —
+    // salting costs one extra parquet file per slice, so only skewed
+    // buckets pay it
+    val saltOf: Map[Int, Int] = if (bucketWeights.nonEmpty && saltPartitions > 0) {
+      val avg = math.max(1L, bucketWeights.values.sum / math.max(1, bucketWeights.size))
+      affected.map { b =>
+        val skew = math.ceil(bucketWeights.getOrElse(b, 0L).toDouble / avg).toInt
+        b -> math.max(baseFactor, math.min(saltPartitions, skew))
+      }.toMap
+    } else affected.map(_ -> baseFactor).toMap
+    val totalParts = math.max(1, saltOf.values.sum)
+    val anySalt = saltOf.values.exists(_ > 1)
+    val saltDivisor = element_at(typedLit(saltOf), col("_bucket"))
+    val saltExpr = pmod(xxhash64(keyCols.map(col): _*), saltDivisor)
 
     // cross-batch LWW over cur∪batch: in-batch duplicates, late events and
     // existing rows resolve in ONE pass. Default path: single exchange by
@@ -196,12 +213,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     // (CdcApply.lwwDedupSorted). Fallback: two-exchange groupBy max_by.
     val writeDf =
       if (sortedDedup) {
-        val pexprs = if (saltFactor > 1) Seq(col("_bucket"), saltExpr) else Seq(col("_bucket"))
-        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, nAffected * saltFactor)
+        val pexprs = if (anySalt) Seq(col("_bucket"), saltExpr) else Seq(col("_bucket"))
+        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, totalParts)
       } else {
         val merged = graft.cdc.CdcApply.lwwDedup(all, keyCols, saltBuckets)
-        if (saltFactor > 1)
-          merged.repartition(nAffected * saltFactor, col("_bucket"), saltExpr)
+        if (anySalt) merged.repartition(totalParts, col("_bucket"), saltExpr)
         else merged.repartition(nAffected, col("_bucket"))
       }
     writeDf.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
