@@ -42,7 +42,14 @@ object CdcApply {
         * much larger than the batch. */
       preDedup: Boolean = false,
       /** single-exchange sorted merge (see LakeTable.merge). */
-      sortedMerge: Boolean = true)
+      sortedMerge: Boolean = true,
+      /** merge-on-read: append LWW'd deltas instead of rewriting the base
+        * each batch (O(batch) write amplification instead of O(table));
+        * read-side LWW + periodic compaction resolve. The throughput mode
+        * for sustained high-rate ingest. */
+      mergeOnRead: Boolean = false,
+      /** compact when any bucket accumulates this many delta files. */
+      compactEvery: Int = 8)
 
   /** Validation: key/meta columns always required; payload columns only for
     * non-deletes. ""/"NULL" are treated as missing (reference
@@ -158,11 +165,20 @@ object CdcApply {
         .agg(count(lit(1)).as("n"), min("_lsn").as("lo"), max("_lsn").as("hi"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-      val applied = table.merge(batch, Model.keyCols, batchId,
-        saltPartitions = opts.mergeSaltPartitions,
-        affectedHint = Some(stats.map(_._1).toSet),
-        saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge,
-        bucketWeights = stats.map(s => s._1 -> s._2).toMap)
+      val applied =
+        if (opts.mergeOnRead) {
+          val ok = table.appendDelta(batch, Model.keyCols, batchId,
+            saltPartitions = opts.mergeSaltPartitions,
+            affectedHint = Some(stats.map(_._1).toSet),
+            bucketWeights = stats.map(s => s._1 -> s._2).toMap)
+          if (ok && table.maxDeltaFiles >= opts.compactEvery)
+            table.compact(saltPartitions = opts.mergeSaltPartitions)
+          ok
+        } else table.merge(batch, Model.keyCols, batchId,
+          saltPartitions = opts.mergeSaltPartitions,
+          affectedHint = Some(stats.map(_._1).toSet),
+          saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge,
+          bucketWeights = stats.map(s => s._1 -> s._2).toMap)
       val durMs = (System.nanoTime() - t0) / 1000000
       if (applied) {
         table.appendLineage(batchId, stats, durMs)

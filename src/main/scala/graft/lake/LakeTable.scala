@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
  *    pointer — kill-during-commit leaves the old snapshot current and the
  *    orphan files unreachable.
  */
-class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int = 16) {
+class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int = 16,
+    val keyCols: Seq[String] = graft.model.Model.keyCols) {
   import LakeTable._
 
   private val rootPath: Path = Paths.get(root)
@@ -51,8 +52,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   final case class Snapshot(
       version: Long,
       schema: StructType,
-      files: Map[Int, Seq[String]], // bucket -> data file paths (relative to root)
-      appliedBatchIds: Set[Long])
+      files: Map[Int, Seq[String]], // bucket -> base data files (relative to root)
+      appliedBatchIds: Set[Long],
+      // merge-on-read delta files per bucket: rows here OVERRIDE base rows
+      // by max _lsn; folded into base by compact()
+      deltas: Map[Int, Seq[String]] = Map.empty)
 
   def exists: Boolean = Files.exists(latestPtr)
 
@@ -68,25 +72,32 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     readSnapshot(snapsDir.resolve(name))
   }
 
+  private def readFileMap(node: JsonNode, field: String): Map[Int, Seq[String]] =
+    Option(node.get(field)).map(_.asInstanceOf[ObjectNode].properties().asScala.map { e =>
+      e.getKey.toInt -> e.getValue.asInstanceOf[ArrayNode].asScala.map(_.asText).toSeq
+    }.toMap).getOrElse(Map.empty)
+
   private def readSnapshot(p: Path): Snapshot = {
     val node = mapper.readTree(Files.readString(p))
     val schema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
-    val files = node.get("files").asInstanceOf[ObjectNode].properties().asScala.map { e =>
-      e.getKey.toInt -> e.getValue.asInstanceOf[ArrayNode].asScala.map(_.asText).toSeq
-    }.toMap
     val applied = node.get("appliedBatchIds").asInstanceOf[ArrayNode].asScala.map(_.asLong).toSet
-    Snapshot(node.get("version").asLong, schema, files, applied)
+    Snapshot(node.get("version").asLong, schema, readFileMap(node, "files"), applied,
+      readFileMap(node, "deltas"))
   }
 
   private def commit(s: Snapshot): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schema", s.schema.json)
-    val filesNode = node.putObject("files")
-    s.files.foreach { case (b, fs) =>
-      val arr = filesNode.putArray(b.toString)
-      fs.foreach(arr.add)
+    def putFiles(field: String, m: Map[Int, Seq[String]]): Unit = {
+      val fn = node.putObject(field)
+      m.foreach { case (b, fs) =>
+        val arr = fn.putArray(b.toString)
+        fs.foreach(arr.add)
+      }
     }
+    putFiles("files", s.files)
+    putFiles("deltas", s.deltas)
     val applied = node.putArray("appliedBatchIds")
     s.appliedBatchIds.toSeq.sorted.foreach(applied.add)
     val name = f"v${s.version}%08d-${UUID.randomUUID().toString.take(8)}.json"
@@ -99,19 +110,31 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
 
   // ---- reads -------------------------------------------------------------
 
-  /** Full table state incl. metadata columns and delete tombstones. */
-  def readFull(): DataFrame = readBuckets(currentSnapshot, None)
+  /** Full table state incl. metadata columns and delete tombstones, with
+    * merge-on-read delta resolution (max-_lsn row per key wins). */
+  def readFull(): DataFrame = resolved(currentSnapshot, None)
 
   /** Public view: tombstones dropped, metadata columns hidden. */
   def read(): DataFrame = {
     val s = currentSnapshot
     val publicCols = s.schema.fields.map(_.name).filterNot(metaColNames.contains)
-    readBuckets(s, None).filter(col("_op") =!= "D")
+    resolved(s, None).filter(col("_op") =!= "D")
       .select(publicCols.map(col).toSeq: _*)
   }
 
-  private def readBuckets(s: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
-    val paths = s.files
+  /** base ∪ deltas with read-side LWW when deltas exist (merge-on-read). */
+  private def resolved(s: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    val base = readFileMapDf(s, s.files, buckets)
+    val deltaPresent = s.deltas.exists { case (b, fs) =>
+      fs.nonEmpty && buckets.forall(_.contains(b)) }
+    if (!deltaPresent) base
+    else graft.cdc.CdcApply.lwwDedup(
+      base.unionByName(readFileMapDf(s, s.deltas, buckets)), keyCols, 1)
+  }
+
+  private def readFileMapDf(s: Snapshot, m: Map[Int, Seq[String]],
+      buckets: Option[Set[Int]]): DataFrame = {
+    val paths = m
       .filter { case (b, _) => buckets.forall(_.contains(b)) }
       .values.flatten.map(f => rootPath.resolve(f).toString).toSeq
     if (paths.isEmpty)
@@ -155,46 +178,113 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val s0 = currentSnapshot
     if (s0.appliedBatchIds.contains(batchId)) return false
 
-    // additive schema evolution driven by batch shape
+    val (s, aligned) = evolveAndAlign(batch)
+    // the caller usually already knows the touched buckets (lineage stats
+    // pass) — avoid an extra full pass over the batch
+    val affected: Set[Int] = affectedHint.getOrElse(
+      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
+    // cur = base ∪ any outstanding merge-on-read deltas of those buckets
+    // (folded into the rewrite, so the merge also acts as a compaction)
+    val cur = readFileMapDf(s, s.files ++ s.deltas.map { case (b, fs) =>
+        b -> (s.files.getOrElse(b, Nil) ++ fs) }, Some(affected))
+      .withColumn("_bucket", bucketOf(col(keyCols.head)))
+
+    val all = cur.unionByName(aligned)
+    val newFiles = rewriteBuckets(all, affected, keyCols, saltPartitions,
+      bucketWeights, sortedDedup, saltBuckets)
+    val files2 = (s.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
+    commit(Snapshot(s.version + 1, s.schema, files2, s.appliedBatchIds + batchId,
+      s.deltas -- affected))
+    true
+  }
+
+  /** Merge-on-read fast path: append the batch as delta files (one
+    * exchange, no base rewrite). Read-side LWW resolves deltas against the
+    * base; [[compact]] folds them in. This is the high-throughput apply
+    * mode for the 10^10-event replay — write amplification drops from
+    * O(table) per batch to O(batch), at the cost of read-time resolution
+    * (SURVEY.md §7.4 risk 2 mitigation, the Iceberg MoR analog). */
+  def appendDelta(batch: DataFrame, keyCols: Seq[String], batchId: Long,
+      saltPartitions: Int = 0, affectedHint: Option[Set[Int]] = None,
+      bucketWeights: Map[Int, Long] = Map.empty): Boolean = {
+    val s0 = currentSnapshot
+    if (s0.appliedBatchIds.contains(batchId)) return false
+    val (s, aligned) = evolveAndAlign(batch)
+    val affected: Set[Int] = affectedHint.getOrElse(
+      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
+    // in-batch LWW only (shrinks the delta); cross-batch resolution is
+    // read-side / compaction-side
+    val newFiles = rewriteBuckets(aligned, affected, keyCols, saltPartitions,
+      bucketWeights, sortedDedup = true, saltBuckets = 1)
+    val deltas2 = affected.foldLeft(s.deltas) { (m, b) =>
+      m.updated(b, m.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
+    }
+    commit(Snapshot(s.version + 1, s.schema, s.files, s.appliedBatchIds + batchId, deltas2))
+    true
+  }
+
+  /** Fold all outstanding deltas into the base (Iceberg-compaction analog).
+    * `dropTombstonesBelowLsn`: GC delete tombstones whose lsn is below the
+    * replay watermark (no event older than it can still arrive). */
+  def compact(saltPartitions: Int = 4,
+      dropTombstonesBelowLsn: Option[Long] = None): Unit = {
+    val s = currentSnapshot
+    // normal compaction touches only delta-bearing buckets; a tombstone-GC
+    // pass is a maintenance rewrite of every bucket that has data
+    val affected =
+      if (dropTombstonesBelowLsn.isDefined)
+        s.deltas.filter(_._2.nonEmpty).keySet ++ s.files.filter(_._2.nonEmpty).keySet
+      else s.deltas.filter(_._2.nonEmpty).keySet
+    if (affected.isEmpty) return
+    val all = readFileMapDf(s, (s.files.view.filterKeys(affected).toMap ++
+        s.deltas.map { case (b, fs) => b -> (s.files.getOrElse(b, Nil) ++ fs) }),
+        Some(affected))
+      .withColumn("_bucket", bucketOf(col(keyCols.head)))
+    val newFiles = rewriteBuckets(all, affected, keyCols, saltPartitions,
+      Map.empty, sortedDedup = true, saltBuckets = 1,
+      dropTombstonesBelowLsn = dropTombstonesBelowLsn)
+    val files2 = (s.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
+    commit(Snapshot(s.version + 1, s.schema, files2, s.appliedBatchIds,
+      s.deltas -- affected))
+  }
+
+  /** Number of delta files outstanding for the most delta-laden bucket —
+    * the auto-compaction trigger signal. */
+  def maxDeltaFiles: Int =
+    currentSnapshot.deltas.values.map(_.size).maxOption.getOrElse(0)
+
+  /** Schema-evolve from the batch shape, align columns, add `_bucket`. */
+  private def evolveAndAlign(batch: DataFrame): (Snapshot, DataFrame) = {
+    val s0 = currentSnapshot
     val newPublic = batch.schema.fields
       .filterNot(f => metaColNames.contains(f.name))
       .filterNot(f => s0.schema.fieldNames.contains(f.name))
     if (newPublic.nonEmpty) evolveSchema(newPublic.toSeq)
     val s = currentSnapshot
-
     val tableCols = s.schema.fields.map(_.name)
-    // align batch to table schema (missing evolved cols -> null)
     val aligned = s.schema.fields.foldLeft(batch) { (df, f) =>
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(tableCols.map(col).toSeq: _*)
       .withColumn("_bucket", bucketOf(col(keyCols.head)))
+    (s, aligned)
+  }
 
-    // the caller usually already knows the touched buckets (lineage stats
-    // pass) — avoid an extra full pass over the batch
-    val affected: Set[Int] = affectedHint.getOrElse(
-      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
-    val cur = readBuckets(s, Some(affected))
-      .withColumn("_bucket", bucketOf(col(keyCols.head)))
-
-    val all = cur.unionByName(aligned)
-
-    // write layout: one task per affected bucket, salted wider when there
-    // are fewer affected buckets than cores (hot-conversation skew,
-    // north_star) — salting costs one parquet file per extra task, so a
-    // full-width batch stays at one task per bucket.
+  /** LWW-dedup `all` and write it bucket-partitioned; returns new files per
+    * bucket. Salt plan: at least one task per core when few buckets are
+    * hit; buckets holding k× the average batch weight get ~k salt slices
+    * (targeted hot-conversation mitigation, north_star) — each slice costs
+    * one parquet file, so only skewed buckets pay. */
+  private def rewriteBuckets(all: DataFrame, affected: Set[Int],
+      keyCols: Seq[String], saltPartitions: Int,
+      bucketWeights: Map[Int, Long], sortedDedup: Boolean, saltBuckets: Int,
+      dropTombstonesBelowLsn: Option[Long] = None): Map[Int, Seq[String]] = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = rootPath.resolve(s"data/commit-$commitId")
     val nAffected = math.max(affected.size, 1)
     val cores = spark.sparkContext.defaultParallelism
-    // base salt: keep at least one task per core when few buckets are hit
     val baseFactor = math.max(1, math.min(math.max(saltPartitions, 1),
       math.ceil(cores.toDouble / nAffected).toInt))
-    // targeted skew salting (north_star: hot-conversation mitigation):
-    // a bucket holding k× the average batch weight gets ~k salt slices, so
-    // the merge's shuffle/sort/write tail is no longer the hot bucket —
-    // salting costs one extra parquet file per slice, so only skewed
-    // buckets pay it
     val saltOf: Map[Int, Int] = if (bucketWeights.nonEmpty && saltPartitions > 0) {
       val avg = math.max(1L, bucketWeights.values.sum / math.max(1, bucketWeights.size))
       affected.map { b =>
@@ -207,11 +297,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val saltDivisor = element_at(typedLit(saltOf), col("_bucket"))
     val saltExpr = pmod(xxhash64(keyCols.map(col): _*), saltDivisor)
 
-    // cross-batch LWW over cur∪batch: in-batch duplicates, late events and
-    // existing rows resolve in ONE pass. Default path: single exchange by
-    // (bucket, salted key) + sort-within-partitions + streaming keep-first
-    // (CdcApply.lwwDedupSorted). Fallback: two-exchange groupBy max_by.
-    val writeDf =
+    // LWW in ONE pass. Default: single exchange by (bucket, salted key) +
+    // sort-within-partitions + streaming keep-first. Fallback: two-exchange
+    // groupBy max_by.
+    val deduped =
       if (sortedDedup) {
         val pexprs = if (anySalt) Seq(col("_bucket"), saltExpr) else Seq(col("_bucket"))
         graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, totalParts)
@@ -220,10 +309,13 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         if (anySalt) merged.repartition(totalParts, col("_bucket"), saltExpr)
         else merged.repartition(nAffected, col("_bucket"))
       }
+    val writeDf = dropTombstonesBelowLsn match {
+      case Some(w) => deduped.filter(!(col("_op") === "D" && col("_lsn") < w))
+      case None => deduped
+    }
     writeDf.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
 
-    // enumerate new files per bucket
-    val newFiles: Map[Int, Seq[String]] = affected.map { b =>
+    affected.map { b =>
       val d = outDir.resolve(s"_bucket=$b")
       val fs = if (Files.exists(d))
         Files.list(d).iterator().asScala
@@ -232,10 +324,6 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       else Seq.empty[String]
       b -> fs
     }.toMap
-
-    val files2 = (s.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
-    commit(Snapshot(s.version + 1, s.schema, files2, s.appliedBatchIds + batchId))
-    true
   }
 
   // ---- lineage / metrics -------------------------------------------------

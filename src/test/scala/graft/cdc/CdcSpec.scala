@@ -148,6 +148,49 @@ class CdcSpec extends SparkSpec {
     assert(replay(sorted = true) == replay(sorted = false))
   }
 
+  test("merge-on-read mode: replay equality, read-side resolution, compaction") {
+    val cfg = ChangeLogGen.Config(numEvents = 15000, numConversations = 60, maxTurns = 16)
+    val logDir = tmpDir("mor-log")
+    val segments = ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 5)
+    val expect = Oracle.finalState(collectEvents(cfg))
+      .map { case (k, e) => k -> ((e.role, e.text)) }
+
+    val table = new LakeTable(spark, tmpDir("mor-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    // compactEvery high → all batches stay as deltas; read must resolve
+    CdcApply.replay(spark, table, segments,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 100))
+    assert(table.maxDeltaFiles > 0, "expected outstanding deltas")
+    def state() = table.read().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+    assert(state() == expect, "read-side LWW over base+deltas")
+
+    // compaction folds deltas; state unchanged
+    table.compact()
+    assert(table.maxDeltaFiles == 0)
+    assert(state() == expect, "state preserved across compaction")
+
+    // tombstone GC: deletes below the replay watermark disappear physically
+    val tombstonesBefore = table.readFull().filter($"_op" === "D").count()
+    assert(tombstonesBefore > 0, "generator produces deletes")
+    val del = Seq((9999999L, "D", "conv-0000001", 0, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, del, 10000L, CdcApply.Options(mergeOnRead = true, compactEvery = 100))
+    table.compact(dropTombstonesBelowLsn = Some(Long.MaxValue))
+    assert(table.readFull().filter($"_op" === "D").count() == 0,
+      s"tombstones GC'd (before: $tombstonesBefore)")
+
+    // auto-compaction path: low compactEvery keeps delta count bounded
+    val table2 = new LakeTable(spark, tmpDir("mor-table2"), numBuckets = 4)
+    table2.create(Model.transcriptSchema)
+    CdcApply.replay(spark, table2, segments,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 2))
+    val st2 = table2.read().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+    assert(st2 == expect)
+  }
+
   test("lineage rows emitted per batch/bucket") {
     val tableDir = tmpDir("graft-table-lin")
     val table = new LakeTable(spark, tableDir, numBuckets = 2)
