@@ -31,12 +31,12 @@ object Bench {
 
   /** One full replay into a fresh table; returns (sec, events/sec). */
   def replayOnce(spark: SparkSession, segments: Seq[String], numEvents: Long,
-      buckets: Int): (Double, Double) = {
+      buckets: Int, opts: CdcApply.Options = CdcApply.Options()): (Double, Double) = {
     val tableDir = java.nio.file.Files.createTempDirectory("graft-bench-table").toString
     val table = new LakeTable(spark, tableDir, numBuckets = buckets)
     table.create(Model.transcriptSchema)
     val t0 = System.nanoTime()
-    CdcApply.replay(spark, table, segments)
+    CdcApply.replay(spark, table, segments, opts)
     val sec = (System.nanoTime() - t0) / 1e9
     deleteRec(tableDir)
     (sec, numEvents / sec)
@@ -82,13 +82,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
-    // flagship: CDC replay throughput (2M events, 4 micro-batches)
-    val (replaySec, eps) = cdcReplay(spark, 2000000L, 4, buckets = 32)
+    // flagship: CDC replay throughput (2M events, 4 micro-batches),
+    // copy-on-write MERGE and merge-on-read append modes
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val segments = genLog(spark, work, 2000000L, 4)
+    val (replaySec, eps) = replayOnce(spark, segments, 2000000L, buckets = 32)
     results("cdc_replay_2m") = replaySec
+    val (morSec, epsMor) = replayOnce(spark, segments, 2000000L, buckets = 32,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 16))
+    results("cdc_replay_2m_mor") = morSec
+    deleteRec(work)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f}""")
     spark.stop()
   }
 }

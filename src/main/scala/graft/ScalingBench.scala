@@ -40,6 +40,9 @@ object ScalingBench {
     // isolates the engine's scaling from the host's SMT ceiling.
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(8)
     val n4 = args.drop(3).headOption.map(_.toInt).getOrElse(4 * n)
+    val opts = if (args.drop(4).headOption.contains("mor"))
+      graft.cdc.CdcApply.Options(mergeOnRead = true, compactEvery = 16)
+    else graft.cdc.CdcApply.Options()
     val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString
 
     def loadAvg: String = try {
@@ -49,8 +52,8 @@ object ScalingBench {
     def once(cores: Int, warm: Boolean): (Double, Double) = {
       val s = session(cores)
       val segments = Bench.genLog(s, work, numEvents, 8)
-      if (warm) Bench.replayOnce(s, segments, numEvents, buckets = 32)
-      val r = Bench.replayOnce(s, segments, numEvents, buckets = 32)
+      if (warm) Bench.replayOnce(s, segments, numEvents, buckets = 32, opts)
+      val r = Bench.replayOnce(s, segments, numEvents, buckets = 32, opts)
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       r

@@ -49,7 +49,11 @@ object CdcApply {
         * for sustained high-rate ingest. */
       mergeOnRead: Boolean = false,
       /** compact when any bucket accumulates this many delta files. */
-      compactEvery: Int = 8)
+      compactEvery: Int = 8,
+      /** when set, rows failing validation are appended here (parquet,
+        * partitioned by batch) instead of being silently dropped — the
+        * dead-letter queue of the ingest pipeline. */
+      deadLetterDir: Option[String] = None)
 
   /** Validation: key/meta columns always required; payload columns only for
     * non-deletes. ""/"NULL" are treated as missing (reference
@@ -149,10 +153,18 @@ object CdcApply {
   def applyBatch(table: LakeTable, events: DataFrame, batchId: Long,
       opts: Options = Options()): Long = {
     val t0 = System.nanoTime()
-    // the prepared batch feeds two jobs (lineage stats + merge write).
-    // With preDedup the pipeline contains an aggregation worth caching;
-    // without it the pipeline is a narrow scan+filter+project — cheaper to
-    // recompute than to materialize a cache copy of the whole batch.
+    // idempotence short-circuit up front: a replayed batch id skips ALL
+    // work (dead-letter append, stats job, merge) — not just the commit
+    if (table.currentSnapshot.appliedBatchIds.contains(batchId)) return 0L
+    opts.deadLetterDir.foreach { dir =>
+      val dl = deadLetters(events)
+        .withColumn("_batch_id", lit(batchId))
+        .withColumn("_reject_reason",
+          when(!col("op").isin("I", "U", "D"), "bad_op")
+            .when(col("lsn").isNull || col("conv_id").isNull || col("turn_idx").isNull, "missing_key")
+            .otherwise("missing_payload"))
+      dl.write.mode("append").parquet(dir)
+    }
     val prepared = prepareBatch(events, opts)
     val batch = if (opts.preDedup)
       prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

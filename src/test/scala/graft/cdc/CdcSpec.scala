@@ -191,6 +191,28 @@ class CdcSpec extends SparkSpec {
     assert(st2 == expect)
   }
 
+  test("dead letters: invalid rows captured with reasons, valid rows applied") {
+    val tableDir = tmpDir("dl-table")
+    val dlDir = tmpDir("dl-out") + "/dl"
+    val table = new LakeTable(spark, tableDir, numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    val df = Seq(
+      (1L, "I", "c1", 0, "user", "ok"),
+      (2L, "X", "c1", 1, "user", "bad op"),
+      (3L, "I", "c2", 0, "user", ""),      // empty text
+      (4L, "I", null.asInstanceOf[String], 0, "user", "no key"))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, df, 0L, CdcApply.Options(deadLetterDir = Some(dlDir)))
+    assert(table.read().count() == 1)
+    val dl = spark.read.parquet(dlDir)
+    val reasons = dl.select("lsn", "_reject_reason").as[(Long, String)].collect().toMap
+    assert(reasons == Map(2L -> "bad_op", 3L -> "missing_payload", 4L -> "missing_key"))
+    // replayed batch id: no duplicate dead letters, no state change
+    CdcApply.applyBatch(table, df, 0L, CdcApply.Options(deadLetterDir = Some(dlDir)))
+    assert(spark.read.parquet(dlDir).count() == 3)
+  }
+
   test("lineage rows emitted per batch/bucket") {
     val tableDir = tmpDir("graft-table-lin")
     val table = new LakeTable(spark, tableDir, numBuckets = 2)
