@@ -32,6 +32,16 @@ object RmlMapper {
     val compiled =
       if (nowIso == null) RmlCompiler.compile(mappingTtl)
       else RmlCompiler.compile(mappingTtl, nowIso)
+    executeCompiled(spark, compiled, data, baseIri)
+  }
+
+  /** Compile-once / execute-many (the reference's plan-cache entry point,
+    * `-gp`/`-p` at flexcore.py:266-282): the [[RmlCompiler.Compiled]] plan
+    * is a plain value — compile offline, run it against fresh data any
+    * number of times. */
+  def executeCompiled(spark: SparkSession, compiled: RmlCompiler.Compiled,
+      data: Map[String, DataFrame] = Map.empty,
+      baseIri: String = "http://example.com/base/"): DataFrame = {
     val sources: Map[String, DataFrame] = compiled.sources.map { case (name, spec) =>
       // in-memory relations take precedence (library mode), matched by
       // path/name as in the reference's {relation_name: data} map

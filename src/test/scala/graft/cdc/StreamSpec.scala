@@ -72,6 +72,18 @@ class StreamSpec extends SparkSpec {
     assert(applied.size == applied.toSeq.distinct.size)
   }
 
+  test("windowed ingest metrics: watermarked event-time aggregation") {
+    val cfg = ChangeLogGen.Config(numEvents = 5000, numConversations = 50, maxTurns = 16)
+    val logDir = tmpDir("metrics-log")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 2)
+    val m = IngestMetrics.collectOnce(spark, logDir, windowLength = "10 minutes")
+    assert(m.columns.toSet == Set("window", "op", "events", "lsn_min", "lsn_max", "approx_convs"))
+    val total = m.agg(org.apache.spark.sql.functions.sum("events")).head.getLong(0)
+    assert(total == cfg.numEvents, s"every event counted once (got $total)")
+    val ops = m.select("op").distinct().collect().map(_.getString(0)).toSet
+    assert(ops == Set("I", "U", "D"))
+  }
+
   test("replayed micro-batch (same batchId) is a no-op — foreachBatch retry safety") {
     import spark.implicits._
     val tableDir = tmpDir("retry-table")
