@@ -4,6 +4,7 @@ import graft.lake.LakeTable
 import graft.model.Model
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /**
  * The CDC apply pipeline — the engine's flagship operator chain, mapping
@@ -119,16 +120,22 @@ object CdcApply {
     * `partitionExprs` rides along so the output partitioning satisfies a
     * downstream partitioned write (e.g. the lake bucket column). */
   def lwwDedupSorted(df: DataFrame, keyCols: Seq[String],
-      partitionExprs: Seq[Column], numPartitions: Int): DataFrame = {
+      partitionExprs: Seq[Column], numPartitions: Int,
+      statsAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]] = None)
+      : DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val schema = df.schema
     val keyIdx = keyCols.map(schema.fieldIndex)
     val lsnIdx = schema.fieldIndex("_lsn")
+    val bucketIdx = if (schema.fieldNames.contains("_bucket")) schema.fieldIndex("_bucket") else -1
     val shuffled = df
       .repartition(numPartitions, partitionExprs: _*)
       .sortWithinPartitions(
         partitionExprs.map(_.asc) ++ keyCols.map(col(_).asc) :+ col("_lsn").desc: _*)
     shuffled.mapPartitions { rows =>
+      // per-bucket (rows-kept, lsn-min, lsn-max) tracked inline — lineage
+      // without a separate aggregation job (metrics-only accumulator)
+      val stats = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
       new Iterator[Row] {
         private var nextRow: Row = _
         private var lastKey: Seq[Any] = null
@@ -141,9 +148,20 @@ object CdcApply {
             val k = keyIdx.map(r.get)
             if (k != lastKey) { lastKey = k; nextRow = r }
           }
+          if (nextRow == null) // partition exhausted: flush stats
+            statsAcc.foreach(acc => stats.foreach { case (b, (n, lo, hi)) => acc.add((b, n, lo, hi)) })
         }
         override def hasNext: Boolean = nextRow != null
-        override def next(): Row = { val r = nextRow; advance(); r }
+        override def next(): Row = {
+          val r = nextRow
+          if (statsAcc.isDefined && bucketIdx >= 0) {
+            val b = r.getInt(bucketIdx)
+            val lsn = r.getLong(lsnIdx)
+            val (n, lo, hi) = stats.getOrElse(b, (0L, Long.MaxValue, Long.MinValue))
+            stats(b) = (n + 1, math.min(lo, lsn), math.max(hi, lsn))
+          }
+          advance(); r
+        }
       }
     }(Encoders.row(schema))
   }
@@ -170,32 +188,50 @@ object CdcApply {
       prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else prepared
     try {
-      // lineage stats per table partition (bucket) — small result, and its
-      // bucket set doubles as the merge's affected-bucket hint
-      val stats = batch
-        .groupBy(table.bucketOf(col("conv_id")).as("bucket"))
-        .agg(count(lit(1)).as("n"), min("_lsn").as("lo"), max("_lsn").as("hi"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-      val applied =
-        if (opts.mergeOnRead) {
-          val ok = table.appendDelta(batch, Model.keyCols, batchId,
-            saltPartitions = opts.mergeSaltPartitions,
-            affectedHint = Some(stats.map(_._1).toSet),
-            bucketWeights = stats.map(s => s._1 -> s._2).toMap)
-          if (ok && table.maxDeltaFiles >= opts.compactEvery)
-            table.compact(saltPartitions = opts.mergeSaltPartitions)
-          ok
-        } else table.merge(batch, Model.keyCols, batchId,
+      if (opts.mergeOnRead) {
+        // ONE-job micro-batch: the append needs no pre-pass — lineage
+        // stats ride an accumulator inside the keep-first pass, the
+        // affected buckets come from the written files, and skew salting
+        // uses the previous batch's weights (steady-state skew signal)
+        val acc = table.spark.sparkContext
+          .collectionAccumulator[(Int, Long, Long, Long)](s"graft_lineage_$batchId")
+        val ok = table.appendDelta(batch, Model.keyCols, batchId,
+          saltPartitions = opts.mergeSaltPartitions,
+          affectedHint = None,
+          bucketWeights = table.lastBucketWeights,
+          statsAcc = Some(acc))
+        if (ok && table.maxDeltaFiles >= opts.compactEvery)
+          table.compact(saltPartitions = opts.mergeSaltPartitions)
+        val durMs = (System.nanoTime() - t0) / 1000000
+        if (ok) {
+          // combine per-partition entries (a salted bucket reports several)
+          val stats = acc.value.asScala
+            .groupBy(_._1).map { case (b, xs) =>
+              (b, xs.map(_._2).sum, xs.map(_._3).min, xs.map(_._4).max)
+            }.toSeq
+          table.lastBucketWeights = stats.map(s => s._1 -> s._2).toMap
+          table.appendLineage(batchId, stats, durMs)
+          stats.map(_._2).sum
+        } else 0L
+      } else {
+        // lineage stats per table partition (bucket) — small result, and
+        // its bucket set doubles as the merge's affected-bucket hint
+        val stats = batch
+          .groupBy(table.bucketOf(col("conv_id")).as("bucket"))
+          .agg(count(lit(1)).as("n"), min("_lsn").as("lo"), max("_lsn").as("hi"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        val applied = table.merge(batch, Model.keyCols, batchId,
           saltPartitions = opts.mergeSaltPartitions,
           affectedHint = Some(stats.map(_._1).toSet),
           saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge,
           bucketWeights = stats.map(s => s._1 -> s._2).toMap)
-      val durMs = (System.nanoTime() - t0) / 1000000
-      if (applied) {
-        table.appendLineage(batchId, stats, durMs)
-        stats.map(_._2).sum
-      } else 0L
+        val durMs = (System.nanoTime() - t0) / 1000000
+        if (applied) {
+          table.appendLineage(batchId, stats, durMs)
+          stats.map(_._2).sum
+        } else 0L
+      }
     } finally if (opts.preDedup) batch.unpersist(blocking = false)
   }
 

@@ -47,6 +47,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   /** Stable bucket assignment — must never change across snapshots. */
   def bucketOf(convId: Column): Column = pmod(xxhash64(convId, lit(42)), lit(numBuckets)).cast("int")
 
+  /** Previous batch's per-bucket weights — the steady-state skew signal
+    * feeding targeted salting in the one-job MoR path (heuristic only;
+    * metrics, not correctness). */
+  @volatile var lastBucketWeights: Map[Int, Long] = Map.empty
+
   // ---- snapshot state ----------------------------------------------------
 
   final case class Snapshot(
@@ -206,16 +211,21 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * (SURVEY.md §7.4 risk 2 mitigation, the Iceberg MoR analog). */
   def appendDelta(batch: DataFrame, keyCols: Seq[String], batchId: Long,
       saltPartitions: Int = 0, affectedHint: Option[Set[Int]] = None,
-      bucketWeights: Map[Int, Long] = Map.empty): Boolean = {
+      bucketWeights: Map[Int, Long] = Map.empty,
+      statsAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]] = None)
+      : Boolean = {
     val s0 = currentSnapshot
     if (s0.appliedBatchIds.contains(batchId)) return false
     val (s, aligned) = evolveAndAlign(batch)
-    val affected: Set[Int] = affectedHint.getOrElse(
-      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
+    // unlike the CoW merge, the append needs no affected-bucket set up
+    // front (it reads nothing): plan the write for every bucket and learn
+    // the actual set from the written files — a one-job micro-batch
+    val planned: Set[Int] = affectedHint.getOrElse((0 until numBuckets).toSet)
     // in-batch LWW only (shrinks the delta); cross-batch resolution is
     // read-side / compaction-side
-    val newFiles = rewriteBuckets(aligned, affected, keyCols, saltPartitions,
-      bucketWeights, sortedDedup = true, saltBuckets = 1)
+    val newFiles = rewriteBuckets(aligned, planned, keyCols, saltPartitions,
+      bucketWeights, sortedDedup = true, saltBuckets = 1, statsAcc = statsAcc)
+    val affected = newFiles.filter(_._2.nonEmpty).keySet
     val deltas2 = affected.foldLeft(s.deltas) { (m, b) =>
       m.updated(b, m.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
     }
@@ -278,7 +288,9 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   private def rewriteBuckets(all: DataFrame, affected: Set[Int],
       keyCols: Seq[String], saltPartitions: Int,
       bucketWeights: Map[Int, Long], sortedDedup: Boolean, saltBuckets: Int,
-      dropTombstonesBelowLsn: Option[Long] = None): Map[Int, Seq[String]] = {
+      dropTombstonesBelowLsn: Option[Long] = None,
+      statsAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]] = None)
+      : Map[Int, Seq[String]] = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = rootPath.resolve(s"data/commit-$commitId")
     val nAffected = math.max(affected.size, 1)
@@ -303,7 +315,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val deduped =
       if (sortedDedup) {
         val pexprs = if (anySalt) Seq(col("_bucket"), saltExpr) else Seq(col("_bucket"))
-        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, totalParts)
+        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, totalParts, statsAcc)
       } else {
         val merged = graft.cdc.CdcApply.lwwDedup(all, keyCols, saltBuckets)
         if (anySalt) merged.repartition(totalParts, col("_bucket"), saltExpr)
