@@ -77,10 +77,18 @@ object Bench {
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT masquerade as a fast run: record -1 and
+      // surface the error in the output JSON
+      try {
+        fn(spark, sfDir).count()
+        results(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        results(name) = -1.0
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      }
     }
     // flagship: CDC replay throughput (2M events, 4 micro-batches),
     // copy-on-write MERGE and merge-on-read append modes
@@ -91,11 +99,17 @@ object Bench {
     val (morSec, epsMor) = replayOnce(spark, segments, 2000000L, buckets = 32,
       CdcApply.Options(mergeOnRead = true, compactEvery = 16))
     results("cdc_replay_2m_mor") = morSec
+    // pipelined MoR: concurrent delta writes, ordered commits
+    val (pipeSec, epsPipe) = replayOnce(spark, segments, 2000000L, buckets = 32,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
+    results("cdc_replay_2m_mor_pipelined") = pipeSec
     deleteRec(work)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f}""")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f}""")
     spark.stop()
   }
 }

@@ -40,9 +40,14 @@ object ScalingBench {
     // isolates the engine's scaling from the host's SMT ceiling.
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(8)
     val n4 = args.drop(3).headOption.map(_.toInt).getOrElse(4 * n)
-    val opts = if (args.drop(4).headOption.contains("mor"))
-      graft.cdc.CdcApply.Options(mergeOnRead = true, compactEvery = 16)
-    else graft.cdc.CdcApply.Options()
+    val opts = args.drop(4).headOption match {
+      case Some("mor") => graft.cdc.CdcApply.Options(mergeOnRead = true, compactEvery = 16)
+      // pipelined merge-on-read: concurrent delta-write jobs, ordered
+      // commits — the intended sustained-ingest mode (round-2 headline)
+      case Some("pipe") => graft.cdc.CdcApply.Options(mergeOnRead = true,
+        compactEvery = 16, pipelineDepth = 4)
+      case _ => graft.cdc.CdcApply.Options()
+    }
     val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString
 
     def loadAvg: String = try {

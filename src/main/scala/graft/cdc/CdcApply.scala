@@ -51,6 +51,12 @@ object CdcApply {
       mergeOnRead: Boolean = false,
       /** compact when any bucket accumulates this many delta files. */
       compactEvery: Int = 8,
+      /** merge-on-read replay only: number of micro-batches whose WRITE
+        * jobs may run concurrently (commits stay strictly ordered). >1
+        * overlaps the driver's per-batch serial work (planning, snapshot
+        * IO, footer stats) with executor work — the scaling-efficiency
+        * lever; 1 = fully serial (foreachBatch-equivalent). */
+      pipelineDepth: Int = 1,
       /** when set, rows failing validation are appended here (parquet,
         * partitioned by batch) instead of being silently dropped — the
         * dead-letter queue of the ingest pipeline. */
@@ -120,22 +126,15 @@ object CdcApply {
     * `partitionExprs` rides along so the output partitioning satisfies a
     * downstream partitioned write (e.g. the lake bucket column). */
   def lwwDedupSorted(df: DataFrame, keyCols: Seq[String],
-      partitionExprs: Seq[Column], numPartitions: Int,
-      statsAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]] = None)
-      : DataFrame = {
+      partitionExprs: Seq[Column], numPartitions: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val schema = df.schema
     val keyIdx = keyCols.map(schema.fieldIndex)
-    val lsnIdx = schema.fieldIndex("_lsn")
-    val bucketIdx = if (schema.fieldNames.contains("_bucket")) schema.fieldIndex("_bucket") else -1
     val shuffled = df
       .repartition(numPartitions, partitionExprs: _*)
       .sortWithinPartitions(
         partitionExprs.map(_.asc) ++ keyCols.map(col(_).asc) :+ col("_lsn").desc: _*)
     shuffled.mapPartitions { rows =>
-      // per-bucket (rows-kept, lsn-min, lsn-max) tracked inline — lineage
-      // without a separate aggregation job (metrics-only accumulator)
-      val stats = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
       new Iterator[Row] {
         private var nextRow: Row = _
         private var lastKey: Seq[Any] = null
@@ -148,22 +147,26 @@ object CdcApply {
             val k = keyIdx.map(r.get)
             if (k != lastKey) { lastKey = k; nextRow = r }
           }
-          if (nextRow == null) // partition exhausted: flush stats
-            statsAcc.foreach(acc => stats.foreach { case (b, (n, lo, hi)) => acc.add((b, n, lo, hi)) })
         }
         override def hasNext: Boolean = nextRow != null
-        override def next(): Row = {
-          val r = nextRow
-          if (statsAcc.isDefined && bucketIdx >= 0) {
-            val b = r.getInt(bucketIdx)
-            val lsn = r.getLong(lsnIdx)
-            val (n, lo, hi) = stats.getOrElse(b, (0L, Long.MaxValue, Long.MinValue))
-            stats(b) = (n + 1, math.min(lo, lsn), math.max(hi, lsn))
-          }
-          advance(); r
-        }
+        override def next(): Row = { val r = nextRow; advance(); r }
       }
     }(Encoders.row(schema))
+  }
+
+  /** Append invalid rows to the batch-scoped dead-letter partition. */
+  private def writeDeadLetters(events: DataFrame, batchId: Long, dir: String): Unit = {
+    val dl = deadLetters(events)
+      .withColumn("_reject_reason",
+        when(!col("op").isin("I", "U", "D"), "bad_op")
+          .when(col("lsn").isNull || col("conv_id").isNull || col("turn_idx").isNull, "missing_key")
+          .otherwise("missing_payload"))
+    // per-batch partition dir with overwrite: a batch retried after a
+    // crash between this write and the snapshot commit REPLACES its dead
+    // letters instead of duplicating them — the DLQ inherits the
+    // pipeline's exactly-once (the `_batch_id=` layout reads back as a
+    // partition column)
+    dl.write.mode("overwrite").parquet(s"$dir/_batch_id=$batchId")
   }
 
   /** Apply one micro-batch into the table. Returns number of upsert rows
@@ -173,73 +176,137 @@ object CdcApply {
     val t0 = System.nanoTime()
     // idempotence short-circuit up front: a replayed batch id skips ALL
     // work (dead-letter append, stats job, merge) — not just the commit
-    if (table.currentSnapshot.appliedBatchIds.contains(batchId)) return 0L
-    opts.deadLetterDir.foreach { dir =>
-      val dl = deadLetters(events)
-        .withColumn("_batch_id", lit(batchId))
-        .withColumn("_reject_reason",
-          when(!col("op").isin("I", "U", "D"), "bad_op")
-            .when(col("lsn").isNull || col("conv_id").isNull || col("turn_idx").isNull, "missing_key")
-            .otherwise("missing_payload"))
-      dl.write.mode("append").parquet(dir)
-    }
+    if (table.currentSnapshot.applied(batchId)) return 0L
+    opts.deadLetterDir.foreach(writeDeadLetters(events, batchId, _))
     val prepared = prepareBatch(events, opts)
     val batch = if (opts.preDedup)
       prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else prepared
     try {
       if (opts.mergeOnRead) {
-        // ONE-job micro-batch: the append needs no pre-pass — lineage
-        // stats ride an accumulator inside the keep-first pass, the
-        // affected buckets come from the written files, and skew salting
-        // uses the previous batch's weights (steady-state skew signal)
-        val acc = table.spark.sparkContext
-          .collectionAccumulator[(Int, Long, Long, Long)](s"graft_lineage_$batchId")
-        val ok = table.appendDelta(batch, Model.keyCols, batchId,
+        // ONE-job micro-batch: the append reads nothing and needs no
+        // pre-pass — lineage stats come from the parquet footers of the
+        // written delta files (exact under retries), and skew salting uses
+        // the previous batch's persisted weights (steady-state signal)
+        val statsOpt = table.appendDelta(batch, Model.keyCols, batchId,
           saltPartitions = opts.mergeSaltPartitions,
-          affectedHint = None,
-          bucketWeights = table.lastBucketWeights,
-          statsAcc = Some(acc))
-        if (ok && table.maxDeltaFiles >= opts.compactEvery)
+          bucketWeights = table.currentSnapshot.bucketWeights)
+        if (statsOpt.isDefined && table.maxDeltaFiles >= opts.compactEvery)
           table.compact(saltPartitions = opts.mergeSaltPartitions)
         val durMs = (System.nanoTime() - t0) / 1000000
-        if (ok) {
-          // combine per-partition entries (a salted bucket reports several)
-          val stats = acc.value.asScala
-            .groupBy(_._1).map { case (b, xs) =>
-              (b, xs.map(_._2).sum, xs.map(_._3).min, xs.map(_._4).max)
-            }.toSeq
-          table.lastBucketWeights = stats.map(s => s._1 -> s._2).toMap
-          table.appendLineage(batchId, stats, durMs)
+        statsOpt.fold(0L) { stats =>
+          table.bufferLineage(batchId, stats, durMs)
           stats.map(_._2).sum
-        } else 0L
+        }
       } else {
-        // lineage stats per table partition (bucket) — small result, and
-        // its bucket set doubles as the merge's affected-bucket hint
-        val stats = batch
-          .groupBy(table.bucketOf(col("conv_id")).as("bucket"))
-          .agg(count(lit(1)).as("n"), min("_lsn").as("lo"), max("_lsn").as("hi"))
-          .collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-        val applied = table.merge(batch, Model.keyCols, batchId,
-          saltPartitions = opts.mergeSaltPartitions,
-          affectedHint = Some(stats.map(_._1).toSet),
-          saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge,
-          bucketWeights = stats.map(s => s._1 -> s._2).toMap)
-        val durMs = (System.nanoTime() - t0) / 1000000
-        if (applied) {
-          table.appendLineage(batchId, stats, durMs)
-          stats.map(_._2).sum
-        } else 0L
+        // copy-on-write MERGE. Adaptive pre-pass: when the last batch
+        // touched most buckets (steady CDC state — every micro-batch fans
+        // out over the whole key space) the narrow stats job is a wasted
+        // serial pass, so the merge goes ONE-JOB whole-table; when batches
+        // are narrow, the stats pass keeps the rewrite to the few touched
+        // buckets. Lineage in one-job mode = rows per rewritten bucket
+        // (footer stats); in two-job mode = batch events per bucket.
+        val s0 = table.currentSnapshot
+        val touchedFrac =
+          if (s0.version == 0) 1.0
+          else s0.bucketWeights.size.toDouble / math.max(1, s0.numBuckets)
+        if (touchedFrac >= 0.5) {
+          val statsOpt = table.merge(batch, Model.keyCols, batchId,
+            saltPartitions = opts.mergeSaltPartitions,
+            affectedHint = None,
+            saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge,
+            bucketWeights = s0.bucketWeights)
+          val durMs = (System.nanoTime() - t0) / 1000000
+          statsOpt.fold(0L) { stats =>
+            table.bufferLineage(batchId, stats, durMs)
+            stats.map(_._2).sum
+          }
+        } else {
+          val stats = batch
+            .groupBy(table.bucketOf(col("conv_id")).as("bucket"))
+            .agg(count(lit(1)).as("n"), min("_lsn").as("lo"), max("_lsn").as("hi"))
+            .collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+          val applied = table.merge(batch, Model.keyCols, batchId,
+            saltPartitions = opts.mergeSaltPartitions,
+            affectedHint = Some(stats.map(_._1).toSet),
+            saltBuckets = opts.saltBuckets, sortedDedup = opts.sortedMerge,
+            bucketWeights = stats.map(s => s._1 -> s._2).toMap)
+          val durMs = (System.nanoTime() - t0) / 1000000
+          if (applied.isDefined) {
+            table.bufferLineage(batchId, stats, durMs)
+            stats.map(_._2).sum
+          } else 0L
+        }
       }
     } finally if (opts.preDedup) batch.unpersist(blocking = false)
   }
 
   /** Batch replay: apply a sequence of log-segment directories in order.
-    * Each segment is one "micro-batch". */
+    * Each segment is one "micro-batch". With `mergeOnRead` and
+    * `pipelineDepth > 1`, dispatches to [[replayPipelined]]. */
   def replay(spark: SparkSession, table: LakeTable, segments: Seq[String],
-      opts: Options = Options()): Unit =
-    segments.zipWithIndex.foreach { case (seg, i) =>
-      applyBatch(table, spark.read.parquet(seg), i.toLong, opts)
+      opts: Options = Options()): Unit = {
+    if (opts.mergeOnRead && opts.pipelineDepth > 1)
+      replayPipelined(spark, table, segments, opts)
+    else {
+      segments.zipWithIndex.foreach { case (seg, i) =>
+        applyBatch(table, spark.read.parquet(seg), i.toLong, opts)
+      }
+      table.flushLineage()
     }
+  }
+
+  /** Pipelined merge-on-read replay: up to `pipelineDepth` batches' delta
+    * WRITE jobs run concurrently (each is a pure Spark job producing
+    * unreachable files), while COMMITS apply strictly in batch order on
+    * the driver. This overlaps the per-batch serial floor — query
+    * planning, snapshot IO, footer stats, lineage — with executor work,
+    * which is exactly the cost that caps N→4N scaling efficiency when
+    * batches are short. Exactly-once is unchanged: a batch id commits
+    * once; files written for an already-applied id stay orphaned
+    * (identical to the kill-during-commit story).
+    *
+    * Correct to run concurrently because MoR delta writes read NOTHING
+    * from the table — only commit order matters. Compaction runs between
+    * commits, folding only already-committed deltas. */
+  def replayPipelined(spark: SparkSession, table: LakeTable,
+      segments: Seq[String], opts: Options = Options(mergeOnRead = true)): Unit = {
+    require(opts.mergeOnRead, "pipelined replay requires mergeOnRead")
+    val depth = math.max(2, opts.pipelineDepth)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(depth)
+    try {
+      val futures = segments.zipWithIndex.map { case (seg, i) =>
+        pool.submit(new java.util.concurrent.Callable[Option[(LakeTable.DeltaWrite, Long)]] {
+          def call(): Option[(LakeTable.DeltaWrite, Long)] = {
+            val t0 = System.nanoTime()
+            if (table.currentSnapshot.applied(i.toLong)) None
+            else {
+              val events = spark.read.parquet(seg)
+              opts.deadLetterDir.foreach(writeDeadLetters(events, i.toLong, _))
+              val batch = prepareBatch(events, opts)
+              val w = table.writeDeltaFiles(batch, Model.keyCols,
+                saltPartitions = opts.mergeSaltPartitions,
+                bucketWeights = table.currentSnapshot.bucketWeights)
+              Some((w, (System.nanoTime() - t0) / 1000000))
+            }
+          }
+        })
+      }
+      futures.zipWithIndex.foreach { case (f, i) =>
+        f.get() match {
+          case Some((w, durMs)) =>
+            if (table.commitDelta(i.toLong, w)) {
+              table.bufferLineage(i.toLong, w.stats, durMs)
+              if (table.maxDeltaFiles >= opts.compactEvery)
+                table.compact(saltPartitions = opts.mergeSaltPartitions)
+            }
+          case None => ()
+        }
+      }
+    } finally {
+      pool.shutdown()
+      table.flushLineage()
+    }
+  }
 }

@@ -54,5 +54,6 @@ object CdcStream {
       opts: CdcApply.Options = CdcApply.Options()): Unit = {
     val q = start(spark, logDir, table, checkpointDir, maxFilesPerTrigger, opts)
     q.awaitTermination()
+    table.flushLineage() // lineage is buffered per flush window; drain at end
   }
 }

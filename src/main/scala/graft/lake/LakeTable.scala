@@ -22,19 +22,30 @@ import scala.jdk.CollectionConverters._
  *  - data is hash-bucketed by `conv_id` into `numBuckets` buckets; a MERGE
  *    reads and rewrites ONLY the buckets present in the incoming batch
  *    (at cluster scale: thousands of buckets, so a micro-batch touches a
- *    small fraction of the table);
+ *    small fraction of the table); [[rescale]] re-buckets a grown table;
  *  - last-writer-wins is resolved by the `_lsn` metadata column, so
  *    late-arriving events in later micro-batches cannot regress state;
  *  - deletes are retained as `_op='D'` tombstones so a late pre-delete
  *    event cannot resurrect a deleted row (compaction can GC tombstones
  *    below a replay watermark);
- *  - exactly-once: every snapshot records the set of applied
- *    `batchId`s; re-merging an already-applied batch is a no-op, which
- *    together with Structured Streaming's checkpointed offsets gives
- *    end-to-end exactly-once (SURVEY.md §7.4 risk 1);
+ *  - exactly-once: every snapshot records the applied batch ids as a
+ *    contiguous watermark + a sparse exception set (the Iceberg
+ *    snapshot-summary-property pattern), so snapshot size stays O(buckets)
+ *    no matter how many batches a months-long stream applies; re-merging
+ *    an already-applied batch is a no-op, which together with Structured
+ *    Streaming's checkpointed offsets gives end-to-end exactly-once
+ *    (SURVEY.md §7.4 risk 1);
  *  - commit is write-new-snapshot-file + atomic rename of the `_latest`
  *    pointer — kill-during-commit leaves the old snapshot current and the
- *    orphan files unreachable.
+ *    orphan files unreachable;
+ *  - per-batch stats (lineage + skew weights) come from the parquet
+ *    footers of the files the batch just wrote — exact under task retries
+ *    and speculative execution (an accumulator would double-count), and
+ *    read driver-side without touching data pages;
+ *  - pipelined apply: [[writeDeltaFiles]] (a pure Spark job, runnable for
+ *    several batches concurrently) is split from [[commitDelta]] (ordered,
+ *    serialized) so the driver's per-batch serial work overlaps executor
+ *    work — the scaling-efficiency lever for the 10^10-event replay.
  */
 class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int = 16,
     val keyCols: Seq[String] = graft.model.Model.keyCols) {
@@ -44,24 +55,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   private val snapsDir: Path = rootPath.resolve("snapshots")
   private val latestPtr: Path = rootPath.resolve("_latest")
 
-  /** Stable bucket assignment — must never change across snapshots. */
-  def bucketOf(convId: Column): Column = pmod(xxhash64(convId, lit(42)), lit(numBuckets)).cast("int")
-
-  /** Previous batch's per-bucket weights — the steady-state skew signal
-    * feeding targeted salting in the one-job MoR path (heuristic only;
-    * metrics, not correctness). */
-  @volatile var lastBucketWeights: Map[Int, Long] = Map.empty
+  /** Serializes commits (pipelined apply runs write jobs concurrently but
+    * commits strictly in order through this lock). */
+  private val commitLock = new Object
 
   // ---- snapshot state ----------------------------------------------------
-
-  final case class Snapshot(
-      version: Long,
-      schema: StructType,
-      files: Map[Int, Seq[String]], // bucket -> base data files (relative to root)
-      appliedBatchIds: Set[Long],
-      // merge-on-read delta files per bucket: rows here OVERRIDE base rows
-      // by max _lsn; folded into base by compact()
-      deltas: Map[Int, Seq[String]] = Map.empty)
 
   def exists: Boolean = Files.exists(latestPtr)
 
@@ -69,12 +67,24 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     Files.createDirectories(snapsDir)
     Files.createDirectories(rootPath.resolve("data"))
     Files.createDirectories(rootPath.resolve("lineage"))
-    commit(Snapshot(0L, withMeta(schema), Map.empty, Set.empty))
+    commit(Snapshot(0L, withMeta(schema), Map.empty, -1L, Set.empty,
+      numBuckets = numBuckets))
   }
+
+  // parsed-snapshot cache keyed by the pointer's current target, so the
+  // common path (we are the only writer) skips the JSON parse while an
+  // external writer is still observed correctly via the tiny pointer read
+  @volatile private var cachedSnap: (String, Snapshot) = null
 
   def currentSnapshot: Snapshot = {
     val name = Files.readString(latestPtr).trim
-    readSnapshot(snapsDir.resolve(name))
+    val c = cachedSnap
+    if (c != null && c._1 == name) c._2
+    else {
+      val s = readSnapshot(snapsDir.resolve(name))
+      cachedSnap = (name, s)
+      s
+    }
   }
 
   private def readFileMap(node: JsonNode, field: String): Map[Int, Seq[String]] =
@@ -85,15 +95,33 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   private def readSnapshot(p: Path): Snapshot = {
     val node = mapper.readTree(Files.readString(p))
     val schema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
-    val applied = node.get("appliedBatchIds").asInstanceOf[ArrayNode].asScala.map(_.asLong).toSet
-    Snapshot(node.get("version").asLong, schema, readFileMap(node, "files"), applied,
-      readFileMap(node, "deltas"))
+    val nb = Option(node.get("numBuckets")).map(_.asInt).getOrElse(numBuckets)
+    val weights = Option(node.get("bucketWeights")).map(_.asInstanceOf[ObjectNode]
+      .properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong).toMap)
+      .getOrElse(Map.empty[Int, Long])
+    val base = Snapshot(node.get("version").asLong, schema,
+      readFileMap(node, "files"), -1L, Set.empty, readFileMap(node, "deltas"),
+      nb, weights)
+    // current format: watermark + exceptions; legacy format: full id array
+    Option(node.get("appliedWatermark")) match {
+      case Some(wm) =>
+        val exc = Option(node.get("appliedExceptions"))
+          .map(_.asInstanceOf[ArrayNode].asScala.map(_.asLong).toSet)
+          .getOrElse(Set.empty[Long])
+        base.copy(appliedWatermark = wm.asLong, appliedExceptions = exc)
+      case None =>
+        val legacy = Option(node.get("appliedBatchIds"))
+          .map(_.asInstanceOf[ArrayNode].asScala.map(_.asLong).toSet)
+          .getOrElse(Set.empty[Long])
+        legacy.toSeq.sorted.foldLeft(base)((s, id) => s.withApplied(id))
+    }
   }
 
-  private def commit(s: Snapshot): Unit = {
+  private def commit(s: Snapshot): Unit = commitLock.synchronized {
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schema", s.schema.json)
+    node.put("numBuckets", s.numBuckets)
     def putFiles(field: String, m: Map[Int, Seq[String]]): Unit = {
       val fn = node.putObject(field)
       m.foreach { case (b, fs) =>
@@ -103,15 +131,27 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     }
     putFiles("files", s.files)
     putFiles("deltas", s.deltas)
-    val applied = node.putArray("appliedBatchIds")
-    s.appliedBatchIds.toSeq.sorted.foreach(applied.add)
+    node.put("appliedWatermark", s.appliedWatermark)
+    val exc = node.putArray("appliedExceptions")
+    s.appliedExceptions.toSeq.sorted.foreach(exc.add)
+    val wn = node.putObject("bucketWeights")
+    s.bucketWeights.foreach { case (b, w) => wn.put(b.toString, w) }
     val name = f"v${s.version}%08d-${UUID.randomUUID().toString.take(8)}.json"
     Files.writeString(snapsDir.resolve(name), mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
     // atomic pointer flip: tmp + ATOMIC_MOVE (SURVEY.md §7.4 risk 1)
     val tmp = rootPath.resolve(s"_latest.tmp.${UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, name)
     Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    cachedSnap = (name, s)
   }
+
+  /** Stable bucket assignment under the CURRENT snapshot's bucket count
+    * (changes only through [[rescale]], which rewrites all data). */
+  def bucketOf(convId: Column): Column =
+    bucketOfN(convId, if (exists) currentSnapshot.numBuckets else numBuckets)
+
+  private def bucketOfN(convId: Column, nb: Int): Column =
+    pmod(xxhash64(convId, lit(42)), lit(nb)).cast("int")
 
   // ---- reads -------------------------------------------------------------
 
@@ -152,85 +192,127 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   // ---- schema evolution --------------------------------------------------
 
   /** Additive-only evolution; existing files are NOT rewritten. */
-  def evolveSchema(newFields: Seq[StructField]): Unit = {
+  def evolveSchema(newFields: Seq[StructField]): Unit = commitLock.synchronized {
     val s = currentSnapshot
-    val existing = s.schema.fieldNames.toSet
-    val add = newFields.filterNot(f => existing.contains(f.name))
+    val add = addedFields(s.schema, newFields)
     if (add.nonEmpty)
       commit(s.copy(version = s.version + 1,
         schema = StructType(s.schema.fields ++ add)))
   }
 
-  // ---- MERGE -------------------------------------------------------------
+  private def addedFields(schema: StructType, fields: Seq[StructField]): Seq[StructField] = {
+    val existing = schema.fieldNames.toSet
+    fields.filterNot(f => existing.contains(f.name) || metaColNames.contains(f.name))
+  }
+
+  // ---- MERGE (copy-on-write) ----------------------------------------------
 
   /** MERGE a prepared batch into the table.
     *
     * `batch` must contain the key columns, `_lsn` (long) and `_op`
-    * ('I'|'U'|'D'), one row per key (pre-deduplicated last-writer-wins by
-    * the caller — [[graft.cdc.CdcApply]]). Unknown public columns in the
-    * batch trigger additive schema evolution first.
+    * ('I'|'U'|'D'). Unknown public columns in the batch trigger additive
+    * schema evolution (folded into the same commit). Semantics = Iceberg
+    * `MERGE INTO t USING b ON keys WHEN MATCHED AND b._lsn >= t._lsn THEN
+    * UPDATE/DELETE WHEN NOT MATCHED THEN INSERT`, implemented as: read
+    * affected buckets → union old+new → keep max-_lsn row per key →
+    * rewrite those buckets only.
     *
-    * Semantics = Iceberg `MERGE INTO t USING b ON keys WHEN MATCHED AND
-    * b._lsn >= t._lsn THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT`,
-    * implemented as: read affected buckets → union old+new → keep max-_lsn
-    * row per key → rewrite those buckets only.
+    * `affectedHint = Some(buckets)`: rewrite exactly those buckets (caller
+    * learned them from a narrow stats pass — the right plan when a batch
+    * touches a small fraction of a large table).
+    * `affectedHint = None`: ONE-JOB whole-table merge — read every bucket
+    * that has data, union the batch, rewrite; buckets untouched by both
+    * stay as-is. The right plan when batches touch most buckets (steady
+    * CDC state), because it needs no pre-pass over the batch.
     *
-    * Returns false if `batchId` was already applied (idempotent replay). */
+    * Returns per-bucket (bucket, rowsWritten, lsnMin, lsnMax) footer stats
+    * of the rewritten buckets, or None if `batchId` was already applied. */
   def merge(batch: DataFrame, keyCols: Seq[String], batchId: Long,
       saltPartitions: Int = 0, affectedHint: Option[Set[Int]] = None,
       saltBuckets: Int = 1, sortedDedup: Boolean = true,
-      bucketWeights: Map[Int, Long] = Map.empty): Boolean = {
+      bucketWeights: Map[Int, Long] = Map.empty): Option[Seq[(Int, Long, Long, Long)]] = {
     val s0 = currentSnapshot
-    if (s0.appliedBatchIds.contains(batchId)) return false
+    if (s0.applied(batchId)) return None
+    val nb = s0.numBuckets
 
-    val (s, aligned) = evolveAndAlign(batch)
-    // the caller usually already knows the touched buckets (lineage stats
-    // pass) — avoid an extra full pass over the batch
-    val affected: Set[Int] = affectedHint.getOrElse(
-      aligned.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
+    val (newCols, aligned) = alignTo(s0, batch)
+    // buckets to READ: the hint, or (one-job mode) every bucket with data.
+    // buckets to LIST post-write: hint, or all — a batch row landing in a
+    // previously-empty bucket creates that bucket's first (complete) file.
+    val readSet: Set[Int] = affectedHint.getOrElse(
+      (s0.files.filter(_._2.nonEmpty).keySet ++ s0.deltas.filter(_._2.nonEmpty).keySet))
+    val listSet: Set[Int] = affectedHint.getOrElse((0 until nb).toSet)
     // cur = base ∪ any outstanding merge-on-read deltas of those buckets
-    // (folded into the rewrite, so the merge also acts as a compaction)
-    val cur = readFileMapDf(s, s.files ++ s.deltas.map { case (b, fs) =>
-        b -> (s.files.getOrElse(b, Nil) ++ fs) }, Some(affected))
-      .withColumn("_bucket", bucketOf(col(keyCols.head)))
+    // (folded into the rewrite, so the merge also acts as a compaction),
+    // read under the evolved target schema so it unions with the aligned
+    // batch (old files read the new columns as null)
+    val target = StructType(s0.schema.fields ++ newCols)
+    val cur = readFileMapDf(s0.copy(schema = target),
+        s0.files ++ s0.deltas.map { case (b, fs) =>
+          b -> (s0.files.getOrElse(b, Nil) ++ fs) }, Some(readSet))
+      .withColumn("_bucket", bucketOfN(col(keyCols.head), nb))
 
     val all = cur.unionByName(aligned)
-    val newFiles = rewriteBuckets(all, affected, keyCols, saltPartitions,
+    val newFiles = rewriteBuckets(all, listSet, keyCols, saltPartitions,
       bucketWeights, sortedDedup, saltBuckets)
-    val files2 = (s.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
-    commit(Snapshot(s.version + 1, s.schema, files2, s.appliedBatchIds + batchId,
-      s.deltas -- affected))
+    val written = newFiles.filter(_._2.nonEmpty)
+    val stats = footerStats(written)
+    commitLock.synchronized {
+      val s = currentSnapshot // re-read: schema may not have changed (no concurrent CoW), but stay safe
+      val schema2 = StructType(s.schema.fields ++ addedFields(s.schema, newCols))
+      val files2 = (s.files -- listSet) ++ written
+      commit(s.copy(version = s.version + 1, schema = schema2, files = files2,
+        deltas = s.deltas -- listSet,
+        bucketWeights = stats.map(x => x._1 -> x._2).toMap).withApplied(batchId))
+    }
+    Some(stats)
+  }
+
+  // ---- merge-on-read apply (split write/commit for pipelining) ------------
+
+
+  /** Merge-on-read stage 1: LWW-dedup the batch in one exchange and write
+    * it as delta files — NO snapshot read-modify-write, NO table read, so
+    * several batches' writes can run concurrently (the written files are
+    * unreachable until their ordered [[commitDelta]]). Write amplification
+    * is O(batch), not O(table) — the sustained-ingest mode for the
+    * 10^10-event replay (read-side LWW + [[compact]] resolve). */
+  def writeDeltaFiles(batch: DataFrame, keyCols: Seq[String],
+      saltPartitions: Int = 0,
+      bucketWeights: Map[Int, Long] = Map.empty): DeltaWrite = {
+    val s = currentSnapshot
+    val (newCols, aligned) = alignTo(s, batch)
+    val planned = (0 until s.numBuckets).toSet
+    val newFiles = rewriteBuckets(aligned, planned, keyCols, saltPartitions,
+      bucketWeights, sortedDedup = true, saltBuckets = 1)
+    val written = newFiles.filter(_._2.nonEmpty)
+    DeltaWrite(written, footerStats(written), newCols)
+  }
+
+  /** Merge-on-read stage 2: register the delta files + batch id (+ any
+    * schema evolution) in ONE ordered commit. Returns false when the batch
+    * id was already applied (the files stay orphaned and unreachable —
+    * same crash-safety story as a kill during commit). */
+  def commitDelta(batchId: Long, w: DeltaWrite): Boolean = commitLock.synchronized {
+    val s = currentSnapshot
+    if (s.applied(batchId)) return false
+    val schema2 = StructType(s.schema.fields ++ addedFields(s.schema, w.newColumns))
+    val deltas2 = w.files.foldLeft(s.deltas) { case (m, (b, fs)) =>
+      m.updated(b, m.getOrElse(b, Nil) ++ fs)
+    }
+    commit(s.copy(version = s.version + 1, schema = schema2, deltas = deltas2,
+      bucketWeights = w.stats.map(x => x._1 -> x._2).toMap).withApplied(batchId))
     true
   }
 
-  /** Merge-on-read fast path: append the batch as delta files (one
-    * exchange, no base rewrite). Read-side LWW resolves deltas against the
-    * base; [[compact]] folds them in. This is the high-throughput apply
-    * mode for the 10^10-event replay — write amplification drops from
-    * O(table) per batch to O(batch), at the cost of read-time resolution
-    * (SURVEY.md §7.4 risk 2 mitigation, the Iceberg MoR analog). */
+  /** One-call MoR apply (write + commit); pipelined callers use the two
+    * stages directly. Returns footer stats, or None if already applied. */
   def appendDelta(batch: DataFrame, keyCols: Seq[String], batchId: Long,
-      saltPartitions: Int = 0, affectedHint: Option[Set[Int]] = None,
-      bucketWeights: Map[Int, Long] = Map.empty,
-      statsAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]] = None)
-      : Boolean = {
-    val s0 = currentSnapshot
-    if (s0.appliedBatchIds.contains(batchId)) return false
-    val (s, aligned) = evolveAndAlign(batch)
-    // unlike the CoW merge, the append needs no affected-bucket set up
-    // front (it reads nothing): plan the write for every bucket and learn
-    // the actual set from the written files — a one-job micro-batch
-    val planned: Set[Int] = affectedHint.getOrElse((0 until numBuckets).toSet)
-    // in-batch LWW only (shrinks the delta); cross-batch resolution is
-    // read-side / compaction-side
-    val newFiles = rewriteBuckets(aligned, planned, keyCols, saltPartitions,
-      bucketWeights, sortedDedup = true, saltBuckets = 1, statsAcc = statsAcc)
-    val affected = newFiles.filter(_._2.nonEmpty).keySet
-    val deltas2 = affected.foldLeft(s.deltas) { (m, b) =>
-      m.updated(b, m.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
-    }
-    commit(Snapshot(s.version + 1, s.schema, s.files, s.appliedBatchIds + batchId, deltas2))
-    true
+      saltPartitions: Int = 0,
+      bucketWeights: Map[Int, Long] = Map.empty): Option[Seq[(Int, Long, Long, Long)]] = {
+    if (currentSnapshot.applied(batchId)) return None
+    val w = writeDeltaFiles(batch, keyCols, saltPartitions, bucketWeights)
+    if (commitDelta(batchId, w)) Some(w.stats) else None
   }
 
   /** Fold all outstanding deltas into the base (Iceberg-compaction analog).
@@ -249,13 +331,19 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val all = readFileMapDf(s, (s.files.view.filterKeys(affected).toMap ++
         s.deltas.map { case (b, fs) => b -> (s.files.getOrElse(b, Nil) ++ fs) }),
         Some(affected))
-      .withColumn("_bucket", bucketOf(col(keyCols.head)))
+      .withColumn("_bucket", bucketOfN(col(keyCols.head), s.numBuckets))
     val newFiles = rewriteBuckets(all, affected, keyCols, saltPartitions,
       Map.empty, sortedDedup = true, saltBuckets = 1,
       dropTombstonesBelowLsn = dropTombstonesBelowLsn)
-    val files2 = (s.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
-    commit(Snapshot(s.version + 1, s.schema, files2, s.appliedBatchIds,
-      s.deltas -- affected))
+    commitLock.synchronized {
+      val s2 = currentSnapshot
+      // deltas committed after our read are NOT folded — leave them be
+      val foldedDeltas = s2.deltas.map { case (b, fs) =>
+        b -> (if (affected.contains(b)) fs.diff(s.deltas.getOrElse(b, Nil)) else fs)
+      }.filter(_._2.nonEmpty)
+      val files2 = (s2.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
+      commit(s2.copy(version = s2.version + 1, files = files2, deltas = foldedDeltas))
+    }
   }
 
   /** Number of delta files outstanding for the most delta-laden bucket —
@@ -263,21 +351,48 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   def maxDeltaFiles: Int =
     currentSnapshot.deltas.values.map(_.size).maxOption.getOrElse(0)
 
-  /** Schema-evolve from the batch shape, align columns, add `_bucket`. */
-  private def evolveAndAlign(batch: DataFrame): (Snapshot, DataFrame) = {
-    val s0 = currentSnapshot
-    val newPublic = batch.schema.fields
-      .filterNot(f => metaColNames.contains(f.name))
-      .filterNot(f => s0.schema.fieldNames.contains(f.name))
-    if (newPublic.nonEmpty) evolveSchema(newPublic.toSeq)
+  // ---- bucket rescaling ----------------------------------------------------
+
+  /** Offline re-bucketing: rewrite ALL data under `newNumBuckets` in one
+    * commit. A table is no longer stuck at its creation-time bucket count —
+    * run this as maintenance when buckets outgrow the per-task sweet spot
+    * (the 10^10-scale requirement; old snapshots remain readable because
+    * reads go through per-snapshot file lists, never the hash). */
+  def rescale(newNumBuckets: Int, saltPartitions: Int = 4): Unit = {
+    require(newNumBuckets > 0, "numBuckets must be positive")
     val s = currentSnapshot
-    val tableCols = s.schema.fields.map(_.name)
-    val aligned = s.schema.fields.foldLeft(batch) { (df, f) =>
+    if (s.numBuckets == newNumBuckets) return
+    val all = resolvedRaw(s).withColumn("_bucket", bucketOfN(col(keyCols.head), newNumBuckets))
+    val newFiles = rewriteBuckets(all, (0 until newNumBuckets).toSet, keyCols,
+      saltPartitions, Map.empty, sortedDedup = true, saltBuckets = 1)
+    commitLock.synchronized {
+      val s2 = currentSnapshot
+      require(s2.version == s.version,
+        "concurrent commit during rescale — run rescale quiesced")
+      commit(s2.copy(version = s2.version + 1, numBuckets = newNumBuckets,
+        files = newFiles.filter(_._2.nonEmpty), deltas = Map.empty,
+        bucketWeights = Map.empty))
+    }
+  }
+
+  /** All rows (base ∪ deltas, pre-LWW) — rescale input; LWW happens in the
+    * rewrite itself. */
+  private def resolvedRaw(s: Snapshot): DataFrame =
+    readFileMapDf(s, s.files ++ s.deltas.map { case (b, fs) =>
+      b -> (s.files.getOrElse(b, Nil) ++ fs) }, None)
+
+  /** Align batch columns to the snapshot schema plus any NEW public columns
+    * the batch introduces (speculative — the evolution itself is committed
+    * later, atomically with the files), and add `_bucket`. */
+  private def alignTo(s: Snapshot, batch: DataFrame): (Seq[StructField], DataFrame) = {
+    val newCols = addedFields(s.schema, batch.schema.fields.toSeq)
+    val target = StructType(s.schema.fields ++ newCols)
+    val aligned = target.fields.foldLeft(batch) { (df, f) =>
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(tableCols.map(col).toSeq: _*)
-      .withColumn("_bucket", bucketOf(col(keyCols.head)))
-    (s, aligned)
+    }.select(target.fields.map(f => col(f.name)).toSeq: _*)
+      .withColumn("_bucket", bucketOfN(col(keyCols.head), s.numBuckets))
+    (newCols, aligned)
   }
 
   /** LWW-dedup `all` and write it bucket-partitioned; returns new files per
@@ -288,9 +403,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   private def rewriteBuckets(all: DataFrame, affected: Set[Int],
       keyCols: Seq[String], saltPartitions: Int,
       bucketWeights: Map[Int, Long], sortedDedup: Boolean, saltBuckets: Int,
-      dropTombstonesBelowLsn: Option[Long] = None,
-      statsAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]] = None)
-      : Map[Int, Seq[String]] = {
+      dropTombstonesBelowLsn: Option[Long] = None): Map[Int, Seq[String]] = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = rootPath.resolve(s"data/commit-$commitId")
     val nAffected = math.max(affected.size, 1)
@@ -315,7 +428,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val deduped =
       if (sortedDedup) {
         val pexprs = if (anySalt) Seq(col("_bucket"), saltExpr) else Seq(col("_bucket"))
-        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, totalParts, statsAcc)
+        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, totalParts)
       } else {
         val merged = graft.cdc.CdcApply.lwwDedup(all, keyCols, saltBuckets)
         if (anySalt) merged.repartition(totalParts, col("_bucket"), saltExpr)
@@ -338,28 +451,144 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     }.toMap
   }
 
-  // ---- lineage / metrics -------------------------------------------------
-
-  /** Append one lineage line per (batch, bucket): event counts + lsn range
-    * + duration (north_star: "per-partition lineage rows and ingest
-    * metrics emitted each micro-batch"). */
-  def appendLineage(batchId: Long, perBucket: Seq[(Int, Long, Long, Long)], durationMs: Long): Unit = {
-    val sb = new StringBuilder
-    perBucket.foreach { case (bucket, n, lsnMin, lsnMax) =>
-      sb.append(s"""{"batch_id":$batchId,"partition_id":$bucket,"events":$n,"lsn_min":$lsnMin,"lsn_max":$lsnMax,"duration_ms":$durationMs}""").append('\n')
-    }
-    val f = rootPath.resolve(s"lineage/batch-$batchId-${UUID.randomUUID().toString.take(8)}.jsonl")
-    Files.writeString(f, sb.toString)
+  /** Exact per-bucket (rows, lsnMin, lsnMax) from the parquet footers of
+    * freshly written files — no data pages read, correct under task
+    * retries/speculation (unlike accumulators). */
+  private def footerStats(written: Map[Int, Seq[String]]): Seq[(Int, Long, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    written.toSeq.map { case (b, fs) =>
+      val per = fs.map(f => ParquetStats.lsnStats(rootPath.resolve(f).toString, conf))
+      val rows = per.map(_._1).sum
+      val los = per.flatMap(_._2)
+      val his = per.flatMap(_._3)
+      (b, rows,
+        if (los.isEmpty) 0L else los.min,
+        if (his.isEmpty) 0L else his.max)
+    }.filter(_._2 > 0)
   }
 
-  def lineage(): DataFrame = spark.read.json(rootPath.resolve("lineage").toString + "/*.jsonl")
+  // ---- lineage / metrics -------------------------------------------------
+
+  /** Per-(batch, bucket) lineage rows (north_star: "per-partition lineage
+    * rows and ingest metrics emitted each micro-batch") — buffered in
+    * memory and flushed as ONE file per `lineageFlushEvery` batches, so
+    * lineage IO stays O(batches / flushEvery), not one file per batch.
+    * Metrics-only: a crash loses at most one unflushed window. */
+  val lineageFlushEvery: Int = 16
+  private val lineageBuf = new scala.collection.mutable.ArrayBuffer[String]
+  private var lineageBatches = 0
+
+  def bufferLineage(batchId: Long, perBucket: Seq[(Int, Long, Long, Long)],
+      durationMs: Long): Unit = synchronized {
+    perBucket.foreach { case (bucket, n, lsnMin, lsnMax) =>
+      lineageBuf += s"""{"batch_id":$batchId,"partition_id":$bucket,"events":$n,"lsn_min":$lsnMin,"lsn_max":$lsnMax,"duration_ms":$durationMs}"""
+    }
+    lineageBatches += 1
+    if (lineageBatches >= lineageFlushEvery) flushLineage()
+  }
+
+  def flushLineage(): Unit = synchronized {
+    if (lineageBuf.nonEmpty) {
+      val f = rootPath.resolve(s"lineage/lineage-${UUID.randomUUID().toString.take(12)}.jsonl")
+      Files.writeString(f, lineageBuf.mkString("", "\n", "\n"))
+      lineageBuf.clear()
+    }
+    lineageBatches = 0
+  }
+
+  /** Compat one-shot append (buffer + count one batch). */
+  def appendLineage(batchId: Long, perBucket: Seq[(Int, Long, Long, Long)],
+      durationMs: Long): Unit = bufferLineage(batchId, perBucket, durationMs)
+
+  def lineage(): DataFrame = {
+    flushLineage()
+    val dir = rootPath.resolve("lineage")
+    val any = Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".jsonl"))
+    if (any) spark.read.json(dir.toString)
+    else spark.emptyDataFrame
+  }
 }
 
 object LakeTable {
+  final case class Snapshot(
+      version: Long,
+      schema: StructType,
+      files: Map[Int, Seq[String]], // bucket -> base data files (relative to root)
+      // applied-batch tracking, bounded: every id in [0, appliedWatermark]
+      // is applied; ids above the watermark live in the exception set until
+      // the watermark catches up (out-of-order commits are rare, so the set
+      // stays tiny — O(pipeline depth), not O(total batches))
+      appliedWatermark: Long,
+      appliedExceptions: Set[Long],
+      // merge-on-read delta files per bucket: rows here OVERRIDE base rows
+      // by max _lsn; folded into base by compact()
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      // bucket count this snapshot's files were written under (rescalable)
+      numBuckets: Int = 16,
+      // previous batch's per-bucket row weights — the steady-state skew
+      // signal feeding targeted salting (heuristic, persisted so the first
+      // post-restart batch salts informed)
+      bucketWeights: Map[Int, Long] = Map.empty) {
+
+    def applied(batchId: Long): Boolean =
+      batchId <= appliedWatermark || appliedExceptions.contains(batchId)
+
+    def withApplied(batchId: Long): Snapshot = {
+      var wm = appliedWatermark
+      var exc = appliedExceptions + batchId
+      while (exc.contains(wm + 1)) { wm += 1; exc -= wm }
+      copy(appliedWatermark = wm, appliedExceptions = exc)
+    }
+
+    /** Materialized applied-id view (tests/inspection; O(watermark)). */
+    def appliedBatchIds: Set[Long] =
+      appliedExceptions ++ (0L to appliedWatermark)
+  }
+
+  /** Result of [[writeDeltaFiles]]: per-bucket files, exact per-bucket
+    * footer stats (rows, lsnMin, lsnMax), and any new public columns the
+    * batch introduces (committed by [[commitDelta]]). */
+  final case class DeltaWrite(files: Map[Int, Seq[String]],
+      stats: Seq[(Int, Long, Long, Long)], newColumns: Seq[StructField])
+
   private val mapper = new ObjectMapper()
   val metaColNames: Set[String] = Set("_lsn", "_op", "_bucket")
 
   def withMeta(publicSchema: StructType): StructType =
     StructType(publicSchema.fields.filterNot(f => metaColNames.contains(f.name)) ++
       graft.model.Model.metaCols)
+}
+
+/** Parquet footer statistics reader (row counts + `_lsn` min/max) — the
+  * exact, retry-proof source of per-batch apply stats. */
+object ParquetStats {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+
+  /** (rows, Some(lsnMin), Some(lsnMax)) for one file; None stats when the
+    * footer carries no usable `_lsn` statistics. */
+  def lsnStats(path: String, conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Option[Long], Option[Long]) = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      var rows = 0L
+      var lo: Option[Long] = None
+      var hi: Option[Long] = None
+      blocks.foreach { blk =>
+        rows += blk.getRowCount
+        blk.getColumns.asScala.find(_.getPath.toDotString == "_lsn").foreach { c =>
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+            lo = Some(lo.fold(mn)(math.min(_, mn)))
+            hi = Some(hi.fold(mx)(math.max(_, mx)))
+          }
+        }
+      }
+      (rows, lo, hi)
+    } finally reader.close()
+  }
 }

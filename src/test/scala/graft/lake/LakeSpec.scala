@@ -1,0 +1,123 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.cdc.{CdcApply, Oracle}
+import graft.gen.ChangeLogGen
+import graft.model.Model
+
+/** Lake-table mechanics added in round 2: pipelined apply, bounded
+  * snapshot metadata, bucket rescaling, persisted skew weights. */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+  import scala.jdk.CollectionConverters._
+
+  private def collectEvents(cfg: ChangeLogGen.Config): Seq[Oracle.Ev] =
+    ChangeLogGen.events(spark, cfg).collect().toSeq.map { r =>
+      Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
+    }
+
+  private def stateOf(table: LakeTable): Map[(String, Int), (String, String)] =
+    table.read().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+
+  test("pipelined MoR replay: equals oracle, exactly-once, re-replay idempotent") {
+    val cfg = ChangeLogGen.Config(numEvents = 16000, numConversations = 80, maxTurns = 16)
+    val segments = ChangeLogGen.writeLog(spark, tmpDir("pipe-log"), cfg, numSegments = 6)
+    val expect = Oracle.finalState(collectEvents(cfg))
+      .map { case (k, e) => k -> ((e.role, e.text)) }
+
+    val table = new LakeTable(spark, tmpDir("pipe-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    val opts = CdcApply.Options(mergeOnRead = true, compactEvery = 100, pipelineDepth = 3)
+    CdcApply.replay(spark, table, segments, opts)
+    assert(stateOf(table) == expect, "pipelined replay final state")
+
+    // commits applied in order, exactly once
+    val s = table.currentSnapshot
+    assert(s.appliedWatermark == segments.size - 1)
+    assert(s.appliedExceptions.isEmpty)
+
+    // re-replay (all ids applied) is a no-op
+    val v = s.version
+    CdcApply.replay(spark, table, segments, opts)
+    assert(table.currentSnapshot.version == v)
+    assert(stateOf(table) == expect)
+
+    // pipelined + compaction interleaved also converges
+    val t2 = new LakeTable(spark, tmpDir("pipe-table2"), numBuckets = 4)
+    t2.create(Model.transcriptSchema)
+    CdcApply.replay(spark, t2, segments,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 2, pipelineDepth = 3))
+    assert(stateOf(t2) == expect, "pipelined replay with auto-compaction")
+  }
+
+  test("snapshot metadata is bounded: 10k applied batches, O(buckets) snapshot bytes") {
+    val table = new LakeTable(spark, tmpDir("bounded-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    // 10k empty-delta commits (driver-only) — the months-long-stream shape
+    (0 until 10000).foreach { i =>
+      table.commitDelta(i.toLong, LakeTable.DeltaWrite(Map.empty, Nil, Nil))
+    }
+    val s = table.currentSnapshot
+    assert(s.appliedWatermark == 9999L)
+    assert(s.appliedExceptions.isEmpty, "contiguous ids compact into the watermark")
+    val ptr = java.nio.file.Paths.get(table.root, "_latest")
+    val snapFile = java.nio.file.Paths.get(table.root, "snapshots",
+      java.nio.file.Files.readString(ptr).trim)
+    val bytes = java.nio.file.Files.size(snapFile)
+    assert(bytes < 8192, s"snapshot must stay O(buckets), got $bytes bytes")
+    // out-of-order ids sit in the exception set until the gap closes
+    table.commitDelta(10002L, LakeTable.DeltaWrite(Map.empty, Nil, Nil))
+    assert(table.currentSnapshot.appliedExceptions == Set(10002L))
+    table.commitDelta(10000L, LakeTable.DeltaWrite(Map.empty, Nil, Nil))
+    table.commitDelta(10001L, LakeTable.DeltaWrite(Map.empty, Nil, Nil))
+    val s2 = table.currentSnapshot
+    assert(s2.appliedWatermark == 10002L && s2.appliedExceptions.isEmpty)
+    // lineage files are periodic, not per-batch
+    val linFiles = java.nio.file.Files.list(java.nio.file.Paths.get(table.root, "lineage"))
+      .iterator().asScala.size
+    assert(linFiles <= 1, s"lineage must batch into periodic files, got $linFiles")
+  }
+
+  test("rescale mid-replay: state preserved, merges continue under new bucketing") {
+    val cfg = ChangeLogGen.Config(numEvents = 8000, numConversations = 50, maxTurns = 12)
+    val segments = ChangeLogGen.writeLog(spark, tmpDir("rescale-log"), cfg, numSegments = 4)
+    val expect = Oracle.finalState(collectEvents(cfg))
+      .map { case (k, e) => k -> ((e.role, e.text)) }
+
+    val table = new LakeTable(spark, tmpDir("rescale-table"), numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    CdcApply.replay(spark, table, segments.take(2))
+    val before = stateOf(table)
+    table.rescale(8)
+    assert(table.currentSnapshot.numBuckets == 8)
+    assert(stateOf(table) == before, "rescale is a pure re-layout")
+    // further merges + MoR appends use the new bucket count (writeLog may
+    // emit an extra segment at the evolution cut — apply ALL remaining)
+    segments.drop(2).zipWithIndex.foreach { case (seg, j) =>
+      val mor = j % 2 == 1
+      CdcApply.applyBatch(table, spark.read.parquet(seg), (2 + j).toLong,
+        CdcApply.Options(mergeOnRead = mor))
+    }
+    table.compact()
+    assert(stateOf(table) == expect)
+    assert(table.currentSnapshot.files.keySet.forall(b => b >= 0 && b < 8))
+    // old snapshots remain readable (reads go through per-snapshot file lists)
+    assert(table.read().count() == expect.size)
+  }
+
+  test("bucket weights persist in the snapshot (post-restart salting is informed)") {
+    val dir = tmpDir("weights-table")
+    val table = new LakeTable(spark, dir, numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    val df = Seq((1L, "I", "c1", 0, "user", "x"), (2L, "I", "c2", 1, "user", "y"))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, df, 0L, CdcApply.Options(mergeOnRead = true))
+    // "restart": a fresh table object over the same root sees the weights
+    val reopened = new LakeTable(spark, dir, numBuckets = 2)
+    val w = reopened.currentSnapshot.bucketWeights
+    assert(w.nonEmpty && w.values.sum == 2L, s"expected persisted weights, got $w")
+  }
+}
