@@ -161,13 +161,15 @@ object Queries {
       T(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"))),
 
-    // top-k per group (window + filter)
+    // top-k per group — salted two-stage (a naive single window over the
+    // 5-value o_orderpriority would cap parallelism at 5 tasks; TopK keeps
+    // groups×salt slices busy and re-ranks only the tiny survivor set)
     "q_topk_per_group" -> ((s, d) =>
-      T(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).as("rn"))
-        .filter(col("rn") <= 2)),
+      graft.ops.TopK.topKPerGroup(
+        T(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        groupCols = Seq("o_orderpriority"),
+        ordering = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 2, saltExpr = xxhash64(col("o_orderkey")))),
 
     // SQL surface: native expressions registered in the function registry
     "q_sql_safe_iri" -> ((s, d) => {
@@ -199,13 +201,41 @@ object Queries {
         graft.functions.TextFunctions.rolling_fingerprint(col("text"), 16).as("fp"),
         graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))),
 
+    // 64 bands × 3 rows: P(miss a jaccard-0.7 pair) ≈ (1-0.7³)^64 ≈ 2e-12,
+    // so the verified LSH output EQUALS the brute-force jaccard pair set
+    // the DuckDB oracle computes
     "q_doc_neardup_minhash" -> ((s, d) =>
       TextOps.nearDupPairs(withPerturbedCopies(T(s, d, "documents")), "doc_id", "text",
-        threshold = 0.7)),
+        threshold = 0.7, bands = 64, rowsPerBand = 3)),
 
+    // maxDist+1 chunking gives GUARANTEED recall (TextOps.simhashNearDups),
+    // so the output is exactly the hamming≤4 pair set the oracle computes
     "q_doc_neardup_simhash" -> ((s, d) =>
       TextOps.simhashNearDups(withPerturbedCopies(T(s, d, "documents")), "doc_id", "text",
         maxDist = 4)),
+
+    // embedding near-dup pairs over planted identical-vector copies
+    "q_emb_neardup" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+      val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorOps.embeddingNearDups(emb.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.95, bits = 8)
+        .select("id_a", "id_b")
+    }),
+
+    // op 3 through the REAL RmlMapper.loadJson path (bracket-notation
+    // JSONPath iterator), over a JSON doc derived from the events table so
+    // DuckDB can oracle it from the same parquet
+    "q_json_iterator" -> ((s, d) => {
+      val rows = T(s, d, "events").orderBy("event_id").limit(50)
+        .select("event_id", "user_id").collect()
+      val json = rows.map(r => s"""{"event_id":${r.getLong(0)},"user_id":${r.getLong(1)}}""")
+        .mkString("""{"events":[""", ",", "]}")
+      val f = java.nio.file.Files.createTempDirectory("graft-json").resolve("doc.json")
+      java.nio.file.Files.writeString(f, json)
+      graft.rml.RmlMapper.loadJson(s, f.toString, Some("$['events'][*]"))
+        .select(col("event_id"), col("user_id"))
+    }),
 
     // similarity search
     "q_emb_topk" -> ((s, d) => {
@@ -217,11 +247,15 @@ object Queries {
       VectorOps.cosineTopKLsh(emb, "vec_id", "embedding", queryVec(emb), 10, bits = 8)
     }),
 
-    // multimodal plumbing (stubbed decode, real schema/batching)
+    // multimodal plumbing (stubbed decode, real schema/batching); the
+    // integer checksum over the decoded feature vector gives the oracle a
+    // content check, not just schema+rows
     "q_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(T(s, d, "documents"), "doc_id")
       Multimodal.extractFeatures(media, parallelism = 8)
-        .select(col("media_id"), col("kind"), size(col("feature")).as("n_feature"))
+        .select(col("media_id"), col("kind"), size(col("feature")).as("n_feature"),
+          aggregate(transform(col("feature"), f => round(f * 255).cast("int")),
+            lit(0), (acc, x) => acc + x).as("feature_checksum"))
     }))
 
   /** Near-dup test input: the documents plus perturbed copies (id+10^6,
@@ -350,5 +384,16 @@ object Queries {
     "q_emb_topk" ->
       ("SELECT vec_id, CAST(rank AS INTEGER) AS rank FROM (SELECT vec_id, row_number() OVER (ORDER BY " +
         "list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)) DESC, vec_id ASC" +
-        ") AS rank FROM embeddings) WHERE rank <= 10"))
+        ") AS rank FROM embeddings) WHERE rank <= 10"),
+
+    // ---- exact oracles for the sketch/hash operators (OracleSql builds
+    // the 64-bit wrapping arithmetic DuckDB-side; bit-for-bit validated)
+    "q_doc_neardup_minhash" -> OracleSql.neardupMinhash(threshold = 0.7),
+    "q_doc_neardup_simhash" -> OracleSql.neardupSimhash(maxDist = 4),
+    "q_doc_fingerprint" -> OracleSql.fingerprint(k = 16),
+    "q_emb_ann_lsh" -> OracleSql.annLsh(bits = 8, dim = 64, k = 10),
+    "q_emb_neardup" -> OracleSql.embNearDup(threshold = 0.95),
+    "q_media_features" -> OracleSql.mediaFeatures(),
+    "q_json_iterator" ->
+      "SELECT event_id, user_id FROM (SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 50)")
 }

@@ -23,11 +23,17 @@ object TextHashes {
     x ^ (x >>> 31)
   }
 
-  /** 64-bit hash of a char range [from, until) of s, seeded. */
+  /** 64-bit hash of a char range [from, until) of s: seeded FNV-1a
+    * (seed enters via a splitmix of the seed as the initial state; one
+    * wrapping multiply per char). Chosen over a per-char splitmix chain
+    * deliberately: identical dispersion for equality/sketch use, and
+    * cheap enough to reproduce bit-for-bit in the DuckDB oracles
+    * ([[graft.OracleSql]]) — every sketch operator gets an exact
+    * independent oracle instead of a rows-only check. */
   def hashRange(s: String, from: Int, until: Int, seed: Long): Long = {
     var h = mix64(seed)
     var i = from
-    while (i < until) { h = mix64(h ^ s.charAt(i).toLong); i += 1 }
+    while (i < until) { h = (h ^ s.charAt(i).toLong) * 0x100000001b3L; i += 1 }
     h
   }
 
@@ -78,7 +84,9 @@ object TextHashes {
       val start = i
       while (i < n && !isSpace(text.charAt(i))) i += 1
       if (i > start) {
-        val h = hashRange(text, start, i, seed)
+        // splitmix finalizer: FNV-1a alone avalanches poorly in the low
+        // bits for short tokens, and simhash votes use every bit
+        val h = mix64(hashRange(text, start, i, seed))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -161,20 +169,44 @@ object VectorMath {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Hyperplane components are constants per (seed, bits, dim) — computed
+    * once and reused across every row (recomputing bits×dim mix64 calls
+    * per vector would be a ~10× constant-factor tax on the ANN scan).
+    * Flat layout: planes(b*dim + j) = mix64(seed + b*131071 + j) / 2^63. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def planesFor(seed: Long, bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, bits, dim), { case (s, nb, d) =>
+      val out = new Array[Double](nb * d)
+      var b = 0
+      while (b < nb) {
+        var j = 0
+        while (j < d) {
+          out(b * d + j) =
+            TextHashes.mix64(s + b.toLong * 131071L + j.toLong).toDouble /
+              Long.MaxValue.toDouble // [-1,1]
+          j += 1
+        }
+        b += 1
+      }
+      out
+    })
+
   /** Sign-bit LSH bucket of a vector under `bits` pseudo-random
     * hyperplanes derived from the seed (component j of plane b =
     * mix64(seed, b, j) scaled to [-1,1]). */
   def signLshBucket(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
+    val planes = planesFor(seed, bits, n)
     var out = 0L
     var b = 0
     while (b < bits) {
       var dot = 0.0
+      val off = b * n
       var j = 0
       while (j < n) {
-        val r = TextHashes.mix64(seed + b.toLong * 131071L + j.toLong)
-        val plane = (r.toDouble / Long.MaxValue.toDouble) // [-1,1]
-        dot += v.getFloat(j).toDouble * plane
+        dot += v.getFloat(j).toDouble * planes(off + j)
         j += 1
       }
       if (dot >= 0) out |= (1L << b)

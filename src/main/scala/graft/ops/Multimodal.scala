@@ -32,7 +32,9 @@ object Multimodal {
   def syntheticMedia(df: DataFrame, idCol: String): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
     df.select(col(idCol).cast("long").as("media_id"))
-      .withColumn("kind", element_at(kinds, (pmod(xxhash64(col("media_id"), lit(1)), lit(3)) + 1).cast("int")))
+      // id mod 3, not a hash: keeps the fixture SQL-mirrorable for the
+      // driver oracle while staying deterministic and balanced
+      .withColumn("kind", element_at(kinds, (pmod(col("media_id"), lit(3)) + 1).cast("int")))
       // opaque payload: deterministic pseudo-bytes from the id
       .withColumn("bytes", unhex(sha2(concat(lit("blob-"), col("media_id")), 256)))
       .withColumn("width", when(col("kind") === "image", (pmod(xxhash64(col("media_id"), lit(2)), lit(1920)) + 16).cast("int")))

@@ -72,27 +72,52 @@ object TextOps {
 
   // ---- deduplication ---------------------------------------------------
 
-  /** Exact dedup: keep the smallest id per identical text. One shuffle on
-    * a 64-bit hash of the text (not the full text — narrow shuffle keys at
-    * 100 TB), with a residual equality check inside each hash group. */
+  /** Exact dedup: keep the smallest id per identical text. The shuffle KEY
+    * is a 128-bit content hash (two independently-seeded xxhash64s), so
+    * grouping never compares or hashes the full text on the exchange path;
+    * the winning (id, text) row rides as the aggregation value, and
+    * map-side partial `min_by` collapses local duplicates so each distinct
+    * text crosses the wire once — the minimum any plan that outputs the
+    * text can move. 128-bit keying makes a false merge astronomically
+    * unlikely (~10^-19 at 10^10 docs — the standard content-hash dedup
+    * contract; collisions would drop one distinct text). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("_h"), col(textCol))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), col(textCol))
+    df.groupBy(
+        xxhash64(col(textCol)).as("_h1"),
+        xxhash64(col(textCol), lit(0x9e3779b9L)).as("_h2"))
+      .agg(min_by(struct(col(idCol), col(textCol)), col(idCol)).as("_r"))
+      .select(col(s"_r.$idCol").as(idCol), col(s"_r.$textCol").as(textCol))
+
+  /** Guard against LSH mega-buckets: a bucket holding m near-identical
+    * docs yields O(m²) candidate pairs — a planted cluster of 10^5 exact
+    * duplicates would explode the self-join. Groups larger than `cap` are
+    * dropped (their members are exact-dup-shaped work — [[exactDedup]] is
+    * the right operator for them); the anti-join side is tiny (only
+    * oversized groups) and broadcasts. */
+  private def dropMegaBuckets(banded: DataFrame, groupCols: Seq[String],
+      cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val over = banded.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > cap).drop("_n")
+      banded.join(broadcast(over), groupCols, "left_anti")
+    }
 
   /** MinHash-LSH near-dup candidate pairs: signature → `bands` bands of
     * `rows` hashes → explode → self-join per (band, bucket) → distinct
-    * pairs. Returns (id_a, id_b) with id_a < id_b. */
+    * pairs. Returns (id_a, id_b) with id_a < id_b. Buckets larger than
+    * `maxBucketSize` are skipped (see [[dropMegaBuckets]]). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
     val n = bands * rowsPerBand
     val sig = df.select(col(idCol).as("id"),
       minhash_sig(col(textCol), shingleK, n, seed).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
+    val banded0 = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .toDF("id", "band", "bucket")
+    val banded = dropMegaBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -102,11 +127,17 @@ object TextOps {
   }
 
   /** Near-dup pairs with exact n-gram Jaccard verification of the LSH
-    * candidates (shingle-hash set intersection / union). */
+    * candidates (shingle-hash set intersection / union). Recall is governed
+    * by the band shape: P(candidate at similarity s) = 1-(1-s^r)^b — e.g.
+    * the default 16×8 catches s≥0.9 with P≈1 but s=0.7 only with P≈0.6;
+    * callers needing (near-)exhaustive recall at a threshold t should pick
+    * r,b with 1-(1-t^r)^b ≈ 1 (e.g. 64 bands × 3 rows for t=0.7). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleK: Int = 5,
-      bands: Int = 16, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand, seed)
+      bands: Int = 16, rowsPerBand: Int = 8, seed: Long = 42L,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand,
+      seed, maxBucketSize)
     val sh = df.select(col(idCol).as("id"),
       shingle_hashes(col(textCol), shingleK, seed).as("sh"))
     cands
@@ -119,16 +150,31 @@ object TextOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup candidates: 64-bit simhash split into 4×16-bit
-    * chunks; docs sharing any chunk are candidates (catches hamming ≤ 3
-    * guaranteed); verified by full hamming distance ≤ maxDist. */
+  /** SimHash near-dup pairs with GUARANTEED recall: the 64-bit simhash is
+    * split into `maxDist + 1` disjoint chunks, so any two hashes within
+    * hamming distance maxDist must agree on at least one whole chunk
+    * (pigeonhole — maxDist differing bits cannot touch every one of
+    * maxDist+1 chunks). Docs sharing any chunk are candidates; exact
+    * hamming distance verifies. The result is therefore EXACTLY the set of
+    * pairs with hamming(simhash) ≤ maxDist — no probabilistic misses.
+    * Chunks larger than `maxBucketSize` are skipped (mega-cluster guard). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+      maxDist: Int = 3, seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 63]")
+    val nChunks = maxDist + 1
+    val baseW = 64 / nChunks
+    val extra = 64 % nChunks // first `extra` chunks get one more bit
+    val offsets = (0 until nChunks).scanLeft(0)((o, i) =>
+      o + baseW + (if (i < extra) 1 else 0))
+    val chunkCols = (0 until nChunks).map { i =>
+      val w = baseW + (if (i < extra) 1 else 0)
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("sh"), offsets(i)).bitwiseAND(lit(mask))
+    }
     val sh = df.select(col(idCol).as("id"), simhash64(col(textCol), seed).as("sh"))
-    val chunkCols = (0 until 4).map(i =>
-      shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)))
-    val chunked = sh.select(col("id"), col("sh"), posexplode(array(chunkCols: _*)))
+    val chunked0 = sh.select(col("id"), col("sh"), posexplode(array(chunkCols: _*)))
       .toDF("id", "sh", "chunk", "chunkVal")
+    val chunked = dropMegaBuckets(chunked0, Seq("chunk", "chunkVal"), maxBucketSize)
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.chunkVal") === col("b.chunkVal") && col("a.id") < col("b.id"))

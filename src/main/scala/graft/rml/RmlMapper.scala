@@ -24,15 +24,35 @@ import org.apache.spark.sql.functions._
  */
 object RmlMapper {
 
-  /** Run a mapping over file-based sources; returns (s,p,o,g) rows. */
+  /** Run a mapping over file-based sources; returns (s,p,o,g) rows.
+    *
+    * `csvData` supplies in-memory relations as RAW CSV STRINGS (header row,
+    * all values strings) — the reference's library mode
+    * `flexrml.execute(data={relation: csv_string})` (flexcore.py:286-303).
+    * `strict=true` fails the job on the first invalid IRI (the reference's
+    * DEFAULT; our default mirrors its `--continue-on-error` skip-row mode,
+    * flexcore.py:318, utils.cpp:186-199). */
   def execute(spark: SparkSession, mappingTtl: String,
       data: Map[String, DataFrame] = Map.empty,
       baseIri: String = "http://example.com/base/",
-      nowIso: () => String = null): DataFrame = {
+      nowIso: () => String = null,
+      csvData: Map[String, String] = Map.empty,
+      strict: Boolean = false): DataFrame = {
     val compiled =
       if (nowIso == null) RmlCompiler.compile(mappingTtl)
       else RmlCompiler.compile(mappingTtl, nowIso)
-    executeCompiled(spark, compiled, data, baseIri)
+    executeCompiled(spark, compiled,
+      data ++ csvData.map { case (k, v) => k -> csvStringToDf(spark, v) },
+      baseIri, strict)
+  }
+
+  /** Parse a raw in-memory CSV string exactly like a CSV file source:
+    * first line is the header, every value a string
+    * (reference simple_executor.cpp:121-131 `open_from_map_or_file`). */
+  def csvStringToDf(spark: SparkSession, csv: String): DataFrame = {
+    val lines = spark.createDataset(csv.split("\r?\n", -1).toSeq.filter(_.nonEmpty))(
+      org.apache.spark.sql.Encoders.STRING)
+    spark.read.option("header", "true").option("inferSchema", "false").csv(lines)
   }
 
   /** Compile-once / execute-many (the reference's plan-cache entry point,
@@ -41,7 +61,8 @@ object RmlMapper {
     * number of times. */
   def executeCompiled(spark: SparkSession, compiled: RmlCompiler.Compiled,
       data: Map[String, DataFrame] = Map.empty,
-      baseIri: String = "http://example.com/base/"): DataFrame = {
+      baseIri: String = "http://example.com/base/",
+      strict: Boolean = false): DataFrame = {
     val sources: Map[String, DataFrame] = compiled.sources.map { case (name, spec) =>
       // in-memory relations take precedence (library mode), matched by
       // path/name as in the reference's {relation_name: data} map
@@ -51,7 +72,7 @@ object RmlMapper {
       }
       name -> df
     }
-    RdfEngine.execute(compiled.rules, sources, baseIri)
+    RdfEngine.execute(compiled.rules, sources, baseIri, strict = strict)
   }
 
   /** CLI-equivalent: write N-Triples/N-Quads text output. */
@@ -100,10 +121,13 @@ object RmlMapper {
   private final case class FieldSeg(name: String) extends Seg
   private final case class ArraySeg(name: String) extends Seg
 
-  /** Parse the `$.students[*]`-style subset (the shapes the reference
-    * handles after its `$.`/bracket stripping, flexcore.py:261-264). */
+  /** Parse the `$.students[*]` / `$['students'][*]` subset — dot form plus
+    * bracket notation (single or double quotes), the shapes the reference
+    * accepts after its `$.`/bracket stripping (flexcore.py:261-264).
+    * Bracket segments are normalized to dot form first. */
   private def parseJsonPath(p: String): Seq[Seg] = {
-    val trimmed = p.stripPrefix("$").stripPrefix(".")
+    val normalized = p.replaceAll("""\[\s*['"]([^'"\]]+)['"]\s*\]""", ".$1")
+    val trimmed = normalized.stripPrefix("$").stripPrefix(".")
     if (trimmed.isEmpty) Nil
     else trimmed.split('.').toSeq.filter(_.nonEmpty).map { seg =>
       if (seg.endsWith("[*]")) ArraySeg(seg.dropRight(3))

@@ -50,14 +50,15 @@ object RdfEngine {
       rules: Seq[MappingRule],
       sources: Map[String, DataFrame],
       baseIri: String = "",
-      distinctWithinGroups: Boolean = true): DataFrame = {
+      distinctWithinGroups: Boolean = true,
+      strict: Boolean = false): DataFrame = {
     require(rules.nonEmpty, "no rules")
     // forward baseIri so grouping sees the same resolved prefixes that
     // compile()/invariantPrefix produce (a relative constant that resolves
     // to another rule's absolute constant must land in the same group)
     val groups = DedupScope.group(rules, baseIri)
     val perGroup = groups.map { g =>
-      val dfs = g.map(r => executeOne(r, sources, baseIri))
+      val dfs = g.map(r => executeOne(r, sources, baseIri, strict))
       val u = dfs.reduce(_ unionByName _)
       // only rules in the SAME collision group can emit identical records;
       // dedup is scoped to the group (reference backend.py:586-590)
@@ -67,11 +68,15 @@ object RdfEngine {
   }
 
   /** Run one rule: project → null-skip → per-scan dedup → (join) →
-    * create() columns → validity filter. */
+    * create() columns → validity filter. `strict=true` raises on the first
+    * row whose IRI is invalid instead of skipping it — the reference's
+    * default hard-exit behavior (utils.cpp:186-199); strict=false is its
+    * `--continue-on-error` (flexcore.py:318). */
   def executeOne(
       rule: MappingRule,
       sources: Map[String, DataFrame],
-      baseIri: String = ""): DataFrame = {
+      baseIri: String = "",
+      strict: Boolean = false): DataFrame = {
     val needed = RuleCompiler.referencedColumns(rule.rule)
     val base: DataFrame = rule.join match {
       case None =>
@@ -97,7 +102,7 @@ object RdfEngine {
         val p = if (j.broadcastParent) broadcast(p0) else p0
         c.join(p, col(ck) === col(pk), "inner")
     }
-    val (cols, rowFilter) = RuleCompiler.compileTriple(rule.rule, baseIri)
+    val (cols, rowFilter) = RuleCompiler.compileTriple(rule.rule, baseIri, strict)
     val withG: Seq[(String, Column)] =
       if (cols.exists(_._1 == "g")) cols
       else cols :+ ("g" -> lit(null).cast("string"))

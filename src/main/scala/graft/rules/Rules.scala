@@ -163,14 +163,24 @@ object RuleCompiler {
 
   /** Compile a whole triples-map rule into (columns, rowFilter):
     * S/P/O(/G) output columns named s,p,o,g plus the combined
-    * null-skip + IRI-validity filter. */
-  def compileTriple(rule: TripleRule, baseIri: String = ""): (Seq[(String, Column)], Column) = {
+    * null-skip + IRI-validity filter. With `strict=true` an invalid IRI
+    * FAILS the job (reference's default hard exit, utils.cpp:186-199)
+    * instead of being skipped; null-skip rows are dropped in both modes
+    * (they are data-model semantics, not errors — definitions.h:6). */
+  def compileTriple(rule: TripleRule, baseIri: String = "",
+      strict: Boolean = false): (Seq[(String, Column)], Column) = {
     val terms = Seq(
       "s" -> rule.subject, "p" -> rule.predicate, "o" -> rule.obj) ++
       rule.graph.map("g" -> _)
     val cols = terms.map { case (n, t) => n -> compile(t, baseIri) }
-    val filter = nullSkipPredicate(referencedColumns(rule)) &&
-      terms.map { case (_, t) => validityPredicate(t, baseIri) }.reduce(_ && _)
+    val nullSkip = nullSkipPredicate(referencedColumns(rule))
+    val validity = terms.map { case (_, t) => validityPredicate(t, baseIri) }.reduce(_ && _)
+    val filter =
+      if (strict)
+        nullSkip && when(validity, lit(true)).otherwise(
+          raise_error(concat(lit("invalid IRI in rule output (strict mode); row s="),
+            cols.head._2.cast("string"))))
+      else nullSkip && validity
     (cols, filter)
   }
 }

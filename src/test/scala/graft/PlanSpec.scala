@@ -77,6 +77,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(user_id"), plan)
   }
 
+  test("salted top-k-per-group: ≡ naive window, stage-1 parallelism > #groups") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    val naive = orders.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).as("rn"))
+      .filter(col("rn") <= 3)
+    val salted = graft.ops.TopK.topKPerGroup(orders, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3,
+      saltExpr = xxhash64(col("o_orderkey")))
+    assert(salted.collect().map(_.toString).sorted.toSeq ==
+      naive.collect().map(_.toString).sorted.toSeq)
+    // the first (big-data) window must partition by (group, _salt), not the
+    // 5-value group alone — that's the whole point
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"stage-1 salt missing from plan:\n$plan")
+  }
+
   test("rdf engine per-scan dedup happens before the join (plan shape)") {
     import spark.implicits._
     val child = Seq(("a", "k1"), ("b", "k2")).toDF("v", "k")

@@ -58,6 +58,42 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 5L)))
   }
 
+  test("simhashNearDups recall is EXACT at any maxDist (pigeonhole property)") {
+    // 120 pseudo-random texts; brute-force hamming pairs are the truth
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rows = (0L until 120L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    for (maxDist <- Seq(2, 4, 7)) {
+      val truth = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        d = TextHashes.hamming64(TextHashes.simHash64(ta, 42L), TextHashes.simHash64(tb, 42L))
+        if d <= maxDist
+      } yield (ia, ib)).toSet
+      val got = TextOps.simhashNearDups(df, "doc_id", "text", maxDist = maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == truth, s"maxDist=$maxDist: got ${got.size}, truth ${truth.size}")
+    }
+  }
+
+  test("LSH mega-bucket guard: planted giant duplicate cluster stays bounded") {
+    // 5000 identical docs would otherwise create ~12.5M candidate pairs
+    val giant = spark.range(1000, 6000)
+      .select($"id".as("doc_id"), lit("identical giant cluster payload text").as("text"))
+    val planted = docs.unionByName(giant)
+    val t0 = System.nanoTime()
+    val pairs = TextOps.nearDupPairs(planted, "doc_id", "text",
+        threshold = 0.6, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(pairs.contains((1L, 5L)), "small-bucket pairs still found")
+    assert(!pairs.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "giant cluster skipped (exactDedup territory)")
+    assert(sec < 60, s"mega-bucket guard must bound runtime, took $sec s")
+  }
+
   test("rolling fingerprint: equal for dups, stable under prefix-append") {
     val fp1 = TextHashes.rollingFingerprint("abcdefghijklmnopqrstuvwxyz 0123", 8)
     val fp2 = TextHashes.rollingFingerprint("PREFIX abcdefghijklmnopqrstuvwxyz 0123", 8)

@@ -236,4 +236,57 @@ class RmlCompilerSpec extends SparkSpec {
     assert(out.select("s", "o").as[(String, String)].collect().toSet ==
       Set(("<http://e/1>", "\"Alice\""), ("<http://e/2>", "\"Bob\"")))
   }
+
+  test("JSONPath bracket notation: $['students'][*] ≡ $.students[*] (flexcore.py:261-264)") {
+    val dir = tmpDir("rml-json-br")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"students": [{"id": "1", "name": "Alice"}, {"id": "2", "name": "Bob"}]}""")
+    import spark.implicits._
+    for (path <- Seq("$['students'][*]", "$[\"students\"][*]", "$.students[*]")) {
+      val out = RmlMapper.loadJson(spark, s"$dir/data.json", Some(path))
+      assert(out.select("id", "name").as[(String, String)].collect().toSet ==
+        Set(("1", "Alice"), ("2", "Bob")), s"path: $path")
+    }
+  }
+
+  test("library mode with raw CSV strings (flexcore.py:286-303)") {
+    val mapping =
+      """@prefix rml: <http://w3id.org/rml/> .
+        |<#A> rml:logicalSource [ rml:source [ rml:path "people.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+        |  rml:predicateObjectMap [
+        |    rml:predicate <http://e/name> ;
+        |    rml:objectMap [ rml:reference "name" ]
+        |  ] .
+        |""".stripMargin
+    import spark.implicits._
+    val csv = "id,name\n1,Alice\n2,Bob\n"
+    val out = RmlMapper.execute(spark, mapping, csvData = Map("people.csv" -> csv))
+    assert(out.select("s", "o").as[(String, String)].collect().toSet ==
+      Set(("<http://e/1>", "\"Alice\""), ("<http://e/2>", "\"Bob\"")))
+  }
+
+  test("strict mode fails on invalid IRI; default skips the row (utils.cpp:186-199)") {
+    val mapping =
+      """@prefix rml: <http://w3id.org/rml/> .
+        |<#A> rml:logicalSource [ rml:source [ rml:path "rows.csv" ] ] ;
+        |  rml:subjectMap [ rml:reference "iri" ] ;
+        |  rml:predicateObjectMap [
+        |    rml:predicate <http://e/p> ;
+        |    rml:objectMap [ rml:reference "v" ]
+        |  ] .
+        |""".stripMargin
+    import spark.implicits._
+    // rml:reference subject is used raw (no %-encoding), so a space makes
+    // an invalid IRI — reference hard-exits unless --continue-on-error
+    val csv = "iri,v\nhttp://e/ok,1\nhttp://e/bad iri,2\n"
+    val lenient = RmlMapper.execute(spark, mapping, csvData = Map("rows.csv" -> csv))
+    assert(lenient.select("s").as[String].collect().toSeq == Seq("<http://e/ok>"))
+    val strictDf = RmlMapper.execute(spark, mapping, csvData = Map("rows.csv" -> csv),
+      strict = true)
+    val e = intercept[Exception] { strictDf.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("invalid IRI")), e.toString)
+  }
 }
