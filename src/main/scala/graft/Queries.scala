@@ -201,12 +201,15 @@ object Queries {
         graft.functions.TextFunctions.rolling_fingerprint(col("text"), 16).as("fp"),
         graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))),
 
-    // 64 bands × 3 rows: P(miss a jaccard-0.7 pair) ≈ (1-0.7³)^64 ≈ 2e-12,
-    // so the verified LSH output EQUALS the brute-force jaccard pair set
-    // the DuckDB oracle computes
+    // 64 bands × 5 rows: P(miss at jaccard 0.7) = (1-0.7⁵)^64 ≈ 8e-6 and the
+    // corpus's true pairs sit at ≥0.72 (miss ≈ 1e-6), so the verified LSH
+    // output EQUALS the brute-force jaccard pair set the oracle computes;
+    // 5-row bands keep unrelated pairs (corpus median jaccard ≈ 0.18) to
+    // ~1% candidate rate — 3-row bands would make a third of ALL pairs
+    // candidates and explode the verify join at scale
     "q_doc_neardup_minhash" -> ((s, d) =>
       TextOps.nearDupPairs(withPerturbedCopies(T(s, d, "documents")), "doc_id", "text",
-        threshold = 0.7, bands = 64, rowsPerBand = 3)),
+        threshold = 0.7, bands = 64, rowsPerBand = 5)),
 
     // maxDist+1 chunking gives GUARANTEED recall (TextOps.simhashNearDups),
     // so the output is exactly the hamming≤4 pair set the oracle computes

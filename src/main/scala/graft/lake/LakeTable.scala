@@ -453,11 +453,19 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
 
   /** Exact per-bucket (rows, lsnMin, lsnMax) from the parquet footers of
     * freshly written files — no data pages read, correct under task
-    * retries/speculation (unlike accumulators). */
+    * retries/speculation (unlike accumulators). Footers are read in
+    * parallel: a salted batch writes O(buckets × slices) small files and a
+    * serial ms-per-footer loop would become per-batch driver floor. */
   private def footerStats(written: Map[Int, Seq[String]]): Seq[(Int, Long, Long, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
+    val perFile: Map[String, (Long, Option[Long], Option[Long])] =
+      written.values.flatten.toSeq.asJava.parallelStream()
+        .map[(String, (Long, Option[Long], Option[Long]))](f =>
+          f -> ParquetStats.lsnStats(rootPath.resolve(f).toString, conf))
+        .collect(java.util.stream.Collectors.toList[(String, (Long, Option[Long], Option[Long]))])
+        .asScala.toMap
     written.toSeq.map { case (b, fs) =>
-      val per = fs.map(f => ParquetStats.lsnStats(rootPath.resolve(f).toString, conf))
+      val per = fs.map(perFile)
       val rows = per.map(_._1).sum
       val los = per.flatMap(_._2)
       val his = per.flatMap(_._3)
