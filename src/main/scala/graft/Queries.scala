@@ -171,6 +171,42 @@ object Queries {
         ordering = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         k = 2, saltExpr = xxhash64(col("o_orderkey")))),
 
+    // set operations (engine extension; reference has union+distinct only)
+    "q_intersect" -> ((s, d) => {
+      val c = T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = T(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup)
+    }),
+    "q_except" -> ((s, d) => {
+      val c = T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = T(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(sup)
+    }),
+
+    // AS-OF join (engine extension): for each 'view' event, the latest
+    // 'purchase' value by the same user at or before it (event_id is the
+    // unique total order). One keyed exchange — see Joins.asofJoin.
+    "q_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("value").as("last_value"))
+      graft.ops.Joins.asofJoin(views, purchases, Seq("user_id"),
+        leftOrd = "event_id", rightOrd = "p_event_id", valueCols = Seq("last_value"))
+        .select("user_id", "event_id", "last_value")
+    }),
+
+    // Range join (engine extension): points-in-interval via binned
+    // equi-join instead of a nested loop — see Joins.rangeJoin.
+    "q_range_join" -> ((s, d) => {
+      val pts = T(s, d, "events").select(col("event_id"), (col("value") * 20).as("v"))
+      val iv = T(s, d, "customer").select(col("c_custkey"),
+        (col("c_acctbal") - 5).as("lo"), (col("c_acctbal") + 5).as("hi"))
+      graft.ops.Joins.rangeJoin(pts, "v", iv, "lo", "hi", binWidth = 10)
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_points"))
+    }),
+
     // SQL surface: native expressions registered in the function registry
     "q_sql_safe_iri" -> ((s, d) => {
       graft.functions.GraftFunctions.registerAll(s)
@@ -364,6 +400,25 @@ object Queries {
 
     "q_sql_safe_iri" ->
       "SELECT p_partkey, replace(p_name, ' ', '%20') AS enc FROM part",
+
+    "q_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+
+    "q_except" ->
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+
+    "q_asof_join" ->
+      ("SELECT l.user_id, l.event_id, r.last_value FROM " +
+        "(SELECT user_id, event_id FROM events WHERE event_type = 'view') l " +
+        "ASOF LEFT JOIN " +
+        "(SELECT user_id, event_id AS p_event_id, value AS last_value FROM events WHERE event_type = 'purchase') r " +
+        "ON l.user_id = r.user_id AND r.p_event_id <= l.event_id"),
+
+    "q_range_join" ->
+      ("SELECT c_custkey, count(*) AS n_points FROM " +
+        "(SELECT event_id, value * 20 AS v FROM events) p JOIN " +
+        "(SELECT c_custkey, c_acctbal - 5 AS lo, c_acctbal + 5 AS hi FROM customer) i " +
+        "ON p.v >= i.lo AND p.v <= i.hi GROUP BY c_custkey"),
 
     "q_doc_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",

@@ -69,6 +69,34 @@ case class HammingDistExpr(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "hamming64"
 }
 
+/** Intersection size of two SORTED `array<long>` columns (merge scan). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashes.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Pairwise cosine of two `array<float>` columns — one static call per row
+  * (replaces a zip_with+aggregate HOF chain on the near-dup verify path). */
+case class CosinePairExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.cosinePair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.cosinePair($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosinePairExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_pair"
+}
+
 /** Cosine similarity of an `array<float>` column against a fixed query
   * vector (the brute-force ANN baseline). The query array rides along as a
   * codegen reference object. */
@@ -110,6 +138,10 @@ object TextFunctions {
     EU.column(ShingleHashesExpr(EU.expression(c), k, seed))
   def hamming64(a: Column, b: Column): Column =
     EU.column(HammingDistExpr(EU.expression(a), EU.expression(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    EU.column(SortedIntersectCountExpr(EU.expression(a), EU.expression(b)))
+  def cosine_pair(a: Column, b: Column): Column =
+    EU.column(CosinePairExpr(EU.expression(a), EU.expression(b)))
   def cosine_to_query(c: Column, query: Array[Double]): Column =
     EU.column(CosineToQueryExpr(EU.expression(c), query))
   def sign_lsh_bucket(c: Column, bits: Int = 16, seed: Long = 42L): Column =

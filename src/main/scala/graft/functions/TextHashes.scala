@@ -131,6 +131,22 @@ object TextHashes {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** |a ∩ b| for two SORTED long arrays (as produced by [[shingleHashes]])
+    * — single merge scan, no per-row hash-set allocation (the built-in
+    * array_intersect builds a hash set per call; on the near-dup verify
+    * join that allocation dominates). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** Character k-shingle set as sorted distinct hashes — used for exact
     * n-gram Jaccard verification of near-dup candidates. */
   def shingleHashes(text: String, k: Int, seed: Long): ArrayData = {
@@ -192,6 +208,22 @@ object VectorMath {
       }
       out
     })
+
+  /** Cosine similarity of two float-array columns — double-precision
+    * sequential accumulation, one static call per row (the HOF
+    * zip_with+aggregate equivalent allocates lambda frames per element). */
+  def cosinePair(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
   /** Sign-bit LSH bucket of a vector under `bits` pseudo-random
     * hyperplanes derived from the seed (component j of plane b =

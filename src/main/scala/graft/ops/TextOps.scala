@@ -140,12 +140,15 @@ object TextOps {
       seed, maxBucketSize)
     val sh = df.select(col(idCol).as("id"),
       shingle_hashes(col(textCol), shingleK, seed).as("sh"))
+    // shingle arrays come out of shingle_hashes sorted+distinct: a merge
+    // scan computes |∩| without array_intersect's per-row hash set, and
+    // |∪| = |a|+|b|-|∩| avoids materializing the union array entirely
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

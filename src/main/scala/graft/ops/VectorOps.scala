@@ -65,17 +65,9 @@ object VectorOps {
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosinePair(col("a.v"), col("b.v")).as("cos"))
+        // codegen'd static call — one invocation per candidate pair, no
+        // per-element HOF lambda frames on the verify path
+        cosine_pair(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
-  }
-
-  /** Pairwise cosine via built-in HOFs (zip_with + aggregate) — used where
-    * both sides are columns; double-precision accumulation. */
-  def cosinePair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (sqrt(na) * sqrt(nb)))
   }
 }
