@@ -171,6 +171,14 @@ object Queries {
         ordering = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         k = 2, saltExpr = xxhash64(col("o_orderkey")))),
 
+    // gap-based sessionization (training-data pipeline op)
+    "q_sessionize" -> ((s, d) =>
+      TextOps.sessionize(
+          T(s, d, "events").select("user_id", "event_id", "ts"),
+          userCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+          gapSeconds = 1800)
+        .select("user_id", "event_id", "session_id")),
+
     // set operations (engine extension; reference has union+distinct only)
     "q_intersect" -> ((s, d) => {
       val c = T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
@@ -400,6 +408,12 @@ object Queries {
 
     "q_sql_safe_iri" ->
       "SELECT p_partkey, replace(p_name, ' ', '%20') AS enc FROM part",
+
+    "q_sessionize" ->
+      ("SELECT user_id, event_id, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id FROM (" +
+        "SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR epoch(ts) - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM (" +
+        "SELECT user_id, event_id, ts, LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events))"),
 
     "q_intersect" ->
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",

@@ -16,5 +16,9 @@ object GraftFunctions {
     GraftShim.registerFunction(spark, "minhash_sig", es => MinHashSigExpr(es.head, 5, 128, 42L))
     GraftShim.registerFunction(spark, "shingle_hashes", es => ShingleHashesExpr(es.head, 5, 42L))
     GraftShim.registerFunction(spark, "hamming64", es => HammingDistExpr(es(0), es(1)))
+    GraftShim.registerFunction(spark, "sorted_intersect_count",
+      es => SortedIntersectCountExpr(es(0), es(1)))
+    GraftShim.registerFunction(spark, "cosine_pair", es => CosinePairExpr(es(0), es(1)))
+    GraftShim.registerFunction(spark, "sign_lsh_bucket", es => SignLshBucketExpr(es.head, 16, 42L))
   }
 }

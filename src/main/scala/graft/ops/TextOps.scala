@@ -70,6 +70,23 @@ object TextOps {
           stopwordCount(text, langStopwords.flatMap(_._2)) >= 1)
   }
 
+  /** Gap-based sessionization: a new session starts when the gap since the
+    * user's previous event exceeds `gapSeconds`. One exchange on the user
+    * key (high-cardinality → full parallelism); session ids are the running
+    * count of gap-breaks per user — deterministic under the (ts, tieBreak)
+    * total order. The standard conversation/session assembly step of a
+    * training-data pipeline. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      tieBreak: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val prev = lag(unix_timestamp(col(tsCol)), 1).over(w)
+    val isNew = when(prev.isNull || unix_timestamp(col(tsCol)) - prev > gapSeconds, 1)
+      .otherwise(0)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+  }
+
   // ---- deduplication ---------------------------------------------------
 
   /** Exact dedup: keep the smallest id per identical text. The shuffle KEY

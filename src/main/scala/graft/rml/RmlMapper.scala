@@ -55,10 +55,27 @@ object RmlMapper {
     spark.read.option("header", "true").option("inferSchema", "false").csv(lines)
   }
 
+  /** Serialized plan cache — the reference's `-gp` (generate plan) /
+    * `-p <plan>` (execute saved plan) entry points (flexcore.py:266-282):
+    * compile once offline, persist, execute many times without the
+    * mapping frontend. The plan is the [[RmlCompiler.Compiled]] ADT
+    * (plain serializable case classes). */
+  def savePlan(compiled: RmlCompiler.Compiled, path: String): Unit = {
+    val out = new java.io.ObjectOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try out.writeObject(compiled) finally out.close()
+  }
+
+  def loadPlan(path: String): RmlCompiler.Compiled = {
+    val in = new java.io.ObjectInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)))
+    try in.readObject().asInstanceOf[RmlCompiler.Compiled] finally in.close()
+  }
+
   /** Compile-once / execute-many (the reference's plan-cache entry point,
     * `-gp`/`-p` at flexcore.py:266-282): the [[RmlCompiler.Compiled]] plan
     * is a plain value — compile offline, run it against fresh data any
-    * number of times. */
+    * number of times (or persist it with [[savePlan]]/[[loadPlan]]). */
   def executeCompiled(spark: SparkSession, compiled: RmlCompiler.Compiled,
       data: Map[String, DataFrame] = Map.empty,
       baseIri: String = "http://example.com/base/",

@@ -266,6 +266,26 @@ class RmlCompilerSpec extends SparkSpec {
       Set(("<http://e/1>", "\"Alice\""), ("<http://e/2>", "\"Bob\"")))
   }
 
+  test("serialized plan cache: save/load plan, execute without frontend (-gp/-p)") {
+    val mapping =
+      """@prefix rml: <http://w3id.org/rml/> .
+        |<#A> rml:logicalSource [ rml:source [ rml:path "people.csv" ] ] ;
+        |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+        |  rml:predicateObjectMap [
+        |    rml:predicate <http://e/name> ;
+        |    rml:objectMap [ rml:reference "name" ]
+        |  ] .
+        |""".stripMargin
+    import spark.implicits._
+    val planFile = tmpDir("rml-plan") + "/plan.bin"
+    RmlMapper.savePlan(RmlCompiler.compile(mapping), planFile)
+    val loaded = RmlMapper.loadPlan(planFile)
+    val out = RmlMapper.executeCompiled(spark, loaded,
+      Map("people.csv" -> Seq(("1", "Alice")).toDF("id", "name")))
+    assert(out.select("s", "o").as[(String, String)].collect().toSet ==
+      Set(("<http://e/1>", "\"Alice\"")))
+  }
+
   test("strict mode fails on invalid IRI; default skips the row (utils.cpp:186-199)") {
     val mapping =
       """@prefix rml: <http://w3id.org/rml/> .
