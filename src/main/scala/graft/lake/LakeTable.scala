@@ -475,6 +475,54 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     }.filter(_._2 > 0)
   }
 
+  // ---- snapshot expiry / orphan GC ----------------------------------------
+
+  /** Expire old snapshots and delete data files no retained snapshot
+    * references (Iceberg `expire_snapshots` + `remove_orphan_files` analog)
+    * — without this a months-long stream accumulates one snapshot JSON and
+    * one superseded file set per commit forever. Keeps the newest `keep`
+    * snapshot files; a data file is deleted only if (a) it is unreferenced
+    * by EVERY retained snapshot and (b) it is older than `graceMs`
+    * (protects files written by in-flight, not-yet-committed pipelined
+    * batches). Applied-batch tracking is unaffected: the watermark lives in
+    * the current snapshot. */
+  def expireSnapshots(keep: Int = 2, graceMs: Long = 10 * 60 * 1000L): Unit =
+    commitLock.synchronized {
+      require(keep >= 1, "must keep at least the current snapshot")
+      val current = Files.readString(latestPtr).trim
+      val all = Files.list(snapsDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+        .sortBy(_.getFileName.toString)
+      // version prefix sorts lexicographically; never expire the pointer target
+      val retained = (all.takeRight(keep).map(_.getFileName.toString) :+ current).toSet
+      val referenced: Set[String] = all
+        .filter(p => retained.contains(p.getFileName.toString))
+        .flatMap { p =>
+          val s = readSnapshot(p)
+          (s.files.values.flatten ++ s.deltas.values.flatten)
+        }.toSet
+      all.filterNot(p => retained.contains(p.getFileName.toString))
+        .foreach(Files.deleteIfExists(_))
+      val cutoff = System.currentTimeMillis() - graceMs
+      val dataDir = rootPath.resolve("data")
+      if (Files.exists(dataDir)) {
+        Files.walk(dataDir).iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filter(p => !referenced.contains(rootPath.relativize(p).toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toSeq // materialize before deleting (walk stream over live dir)
+          .foreach(Files.deleteIfExists(_))
+        // sweep now-empty commit dirs
+        Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+          if (Files.isDirectory(d)) {
+            val empty = !Files.walk(d).iterator().asScala.exists(Files.isRegularFile(_))
+            if (empty) Files.walk(d).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
+        }
+      }
+    }
+
   // ---- lineage / metrics -------------------------------------------------
 
   /** Per-(batch, bucket) lineage rows (north_star: "per-partition lineage

@@ -107,6 +107,33 @@ class LakeSpec extends SparkSpec {
     assert(table.read().count() == expect.size)
   }
 
+  test("expireSnapshots: orphan data files GC'd, state + applied ids intact") {
+    val cfg = ChangeLogGen.Config(numEvents = 6000, numConversations = 40, maxTurns = 12)
+    val segments = ChangeLogGen.writeLog(spark, tmpDir("gc-log"), cfg, numSegments = 4)
+    val table = new LakeTable(spark, tmpDir("gc-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    // CoW replay: every batch rewrites buckets → superseded files pile up
+    CdcApply.replay(spark, table, segments)
+    val before = stateOf(table)
+    def dataFiles() = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(table.root, "data")).iterator().asScala
+      .count(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+    def snaps() = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table.root, "snapshots")).iterator().asScala
+      .count(_.toString.endsWith(".json"))
+    val filesBefore = dataFiles()
+    val snapsBefore = snaps()
+    table.expireSnapshots(keep = 1, graceMs = 0)
+    assert(snaps() == 1 && snapsBefore > 1, s"snapshots: $snapsBefore -> ${snaps()}")
+    assert(dataFiles() < filesBefore,
+      s"orphans must be deleted: $filesBefore -> ${dataFiles()}")
+    assert(stateOf(table) == before, "table state unchanged by GC")
+    // applied ids survive (watermark in current snapshot): replays still no-op
+    val v = table.currentSnapshot.version
+    CdcApply.replay(spark, table, segments)
+    assert(table.currentSnapshot.version == v)
+  }
+
   test("bucket weights persist in the snapshot (post-restart salting is informed)") {
     val dir = tmpDir("weights-table")
     val table = new LakeTable(spark, dir, numBuckets = 2)
