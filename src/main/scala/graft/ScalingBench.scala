@@ -46,6 +46,9 @@ object ScalingBench {
       // commits — the intended sustained-ingest mode (round-2 headline)
       case Some("pipe") => graft.cdc.CdcApply.Options(mergeOnRead = true,
         compactEvery = 16, pipelineDepth = 4)
+      // pipelined AND shuffle-free: zero exchanges in the hot path
+      case Some("pipefree") => graft.cdc.CdcApply.Options(mergeOnRead = true,
+        compactEvery = 16, pipelineDepth = 4, shuffleFreeAppend = true)
       case _ => graft.cdc.CdcApply.Options()
     }
     val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString

@@ -57,6 +57,16 @@ object CdcApply {
         * IO, footer stats) with executor work — the scaling-efficiency
         * lever; 1 = fully serial (foreachBatch-equivalent). */
       pipelineDepth: Int = 1,
+      /** merge-on-read only: append the batch with ZERO exchanges (no
+        * in-batch LWW — read-side/compaction LWW resolves duplicates
+        * identically; equality pinned by LakeSpec). MEASURED TO LOSE on
+        * this workload: every task writes every bucket, so files/batch =
+        * tasks × buckets (~1024), footer+commit cost balloons and
+        * auto-compaction fires each batch — 252k ev/s vs 1.8M+ for the
+        * single-exchange path at local[16]. Kept as a documented negative
+        * result: the one exchange is what bounds file count, which at
+        * object-storage scale matters even more. */
+      shuffleFreeAppend: Boolean = false,
       /** when set, rows failing validation are appended here (parquet,
         * partitioned by batch) instead of being silently dropped — the
         * dead-letter queue of the ingest pipeline. */
@@ -190,7 +200,8 @@ object CdcApply {
         // the previous batch's persisted weights (steady-state signal)
         val statsOpt = table.appendDelta(batch, Model.keyCols, batchId,
           saltPartitions = opts.mergeSaltPartitions,
-          bucketWeights = table.currentSnapshot.bucketWeights)
+          bucketWeights = table.currentSnapshot.bucketWeights,
+          shuffleFree = opts.shuffleFreeAppend)
         if (statsOpt.isDefined && table.maxDeltaFiles >= opts.compactEvery)
           table.compact(saltPartitions = opts.mergeSaltPartitions)
         val durMs = (System.nanoTime() - t0) / 1000000
@@ -287,7 +298,8 @@ object CdcApply {
               val batch = prepareBatch(events, opts)
               val w = table.writeDeltaFiles(batch, Model.keyCols,
                 saltPartitions = opts.mergeSaltPartitions,
-                bucketWeights = table.currentSnapshot.bucketWeights)
+                bucketWeights = table.currentSnapshot.bucketWeights,
+                shuffleFree = opts.shuffleFreeAppend)
               Some((w, (System.nanoTime() - t0) / 1000000))
             }
           }

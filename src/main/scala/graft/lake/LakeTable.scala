@@ -279,14 +279,32 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * 10^10-event replay (read-side LWW + [[compact]] resolve). */
   def writeDeltaFiles(batch: DataFrame, keyCols: Seq[String],
       saltPartitions: Int = 0,
-      bucketWeights: Map[Int, Long] = Map.empty): DeltaWrite = {
+      bucketWeights: Map[Int, Long] = Map.empty,
+      shuffleFree: Boolean = false): DeltaWrite = {
     val s = currentSnapshot
     val (newCols, aligned) = alignTo(s, batch)
     val planned = (0 until s.numBuckets).toSet
-    val newFiles = rewriteBuckets(aligned, planned, keyCols, saltPartitions,
-      bucketWeights, sortedDedup = true, saltBuckets = 1)
+    val newFiles =
+      if (shuffleFree) {
+        // ZERO-exchange append: write each input partition's rows straight
+        // into their bucket dirs (dynamic partition write). In-batch
+        // duplicate keys survive into the delta — read-side LWW and
+        // compaction resolve them identically, so final state is unchanged
+        // (pinned by LakeSpec); the trade is slightly larger deltas and up
+        // to tasks×buckets files per batch vs. no shuffle barrier at all.
+        writePartitioned(aligned, planned)
+      } else rewriteBuckets(aligned, planned, keyCols, saltPartitions,
+        bucketWeights, sortedDedup = true, saltBuckets = 1)
     val written = newFiles.filter(_._2.nonEmpty)
     DeltaWrite(written, footerStats(written), newCols)
+  }
+
+  /** Direct bucket-partitioned write of `df` as-is (no exchange, no LWW). */
+  private def writePartitioned(df: DataFrame, listSet: Set[Int]): Map[Int, Seq[String]] = {
+    val commitId = UUID.randomUUID().toString.take(12)
+    val outDir = rootPath.resolve(s"data/commit-$commitId")
+    df.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
+    listFiles(outDir, listSet)
   }
 
   /** Merge-on-read stage 2: register the delta files + batch id (+ any
@@ -309,9 +327,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * stages directly. Returns footer stats, or None if already applied. */
   def appendDelta(batch: DataFrame, keyCols: Seq[String], batchId: Long,
       saltPartitions: Int = 0,
-      bucketWeights: Map[Int, Long] = Map.empty): Option[Seq[(Int, Long, Long, Long)]] = {
+      bucketWeights: Map[Int, Long] = Map.empty,
+      shuffleFree: Boolean = false): Option[Seq[(Int, Long, Long, Long)]] = {
     if (currentSnapshot.applied(batchId)) return None
-    val w = writeDeltaFiles(batch, keyCols, saltPartitions, bucketWeights)
+    val w = writeDeltaFiles(batch, keyCols, saltPartitions, bucketWeights, shuffleFree)
     if (commitDelta(batchId, w)) Some(w.stats) else None
   }
 
@@ -439,8 +458,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       case None => deduped
     }
     writeDf.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
+    listFiles(outDir, affected)
+  }
 
-    affected.map { b =>
+  private def listFiles(outDir: Path, buckets: Set[Int]): Map[Int, Seq[String]] =
+    buckets.map { b =>
       val d = outDir.resolve(s"_bucket=$b")
       val fs = if (Files.exists(d))
         Files.list(d).iterator().asScala
@@ -449,7 +471,6 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       else Seq.empty[String]
       b -> fs
     }.toMap
-  }
 
   /** Exact per-bucket (rows, lsnMin, lsnMax) from the parquet footers of
     * freshly written files — no data pages read, correct under task

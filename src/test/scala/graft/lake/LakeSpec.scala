@@ -50,6 +50,17 @@ class LakeSpec extends SparkSpec {
     CdcApply.replay(spark, t2, segments,
       CdcApply.Options(mergeOnRead = true, compactEvery = 2, pipelineDepth = 3))
     assert(stateOf(t2) == expect, "pipelined replay with auto-compaction")
+
+    // shuffle-free append: zero-exchange writes, duplicates resolved by
+    // read-side LWW and compaction — identical final state
+    val t3 = new LakeTable(spark, tmpDir("pipe-table3"), numBuckets = 4)
+    t3.create(Model.transcriptSchema)
+    CdcApply.replay(spark, t3, segments,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 100, pipelineDepth = 3,
+        shuffleFreeAppend = true))
+    assert(stateOf(t3) == expect, "shuffle-free append, read-side resolution")
+    t3.compact()
+    assert(stateOf(t3) == expect, "shuffle-free append after compaction")
   }
 
   test("snapshot metadata is bounded: 10k applied batches, O(buckets) snapshot bytes") {
