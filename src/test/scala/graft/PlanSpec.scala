@@ -97,6 +97,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_salt"), s"stage-1 salt missing from plan:\n$plan")
   }
 
+  test("asofJoin plan: exactly ONE exchange (no join explosion, no BNLJ)") {
+    import spark.implicits._
+    val l = (0 until 100).map(i => (i.toLong % 7, i.toLong, s"p$i")).toDF("k", "t", "pay")
+    val r = (0 until 50).map(i => (i.toLong % 7, i.toLong * 2, i * 1.0)).toDF("k", "rt", "v")
+    val out = graft.ops.Joins.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // every row crosses ONE keyed exchange; AQE materializes it as one
+    // Exchange node per union branch (≤ 2 total), never a join
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"each union branch gets at most one exchange, got $exchanges:\n$plan")
+    assert("hashpartitioning\\(k".r.findAllIn(plan).nonEmpty, s"exchange must be keyed:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join operator:\n$plan")
+  }
+
   test("rdf engine per-scan dedup happens before the join (plan shape)") {
     import spark.implicits._
     val child = Seq(("a", "k1"), ("b", "k2")).toDF("v", "k")
