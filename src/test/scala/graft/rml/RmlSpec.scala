@@ -286,6 +286,32 @@ class RmlCompilerSpec extends SparkSpec {
       Set(("<http://e/1>", "\"Alice\"")))
   }
 
+  test("CLI surface: -m/-o end-to-end, -gp/-p plan round trip (flexcore.py:307-367)") {
+    val dir = tmpDir("rml-cli")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/people.csv"),
+      "id,name\n1,Alice\n2,Bob\n")
+    val mapping =
+      s"""@prefix rml: <http://w3id.org/rml/> .
+         |<#A> rml:logicalSource [ rml:source [ rml:path "$dir/people.csv" ] ] ;
+         |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+         |  rml:predicateObjectMap [
+         |    rml:predicate <http://e/name> ;
+         |    rml:objectMap [ rml:reference "name" ]
+         |  ] .
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/m.ttl"), mapping)
+    def lines(out: String): Set[String] =
+      spark.read.text(out).collect().map(_.getString(0)).toSet
+    RmlCli.run(spark, Map("mapping" -> s"$dir/m.ttl", "out" -> s"$dir/out1"))
+    assert(lines(s"$dir/out1") == Set(
+      "<http://e/1> <http://e/name> \"Alice\" .",
+      "<http://e/2> <http://e/name> \"Bob\" ."))
+    // plan cache round trip: -gp then -p must produce the same output
+    RmlCli.run(spark, Map("mapping" -> s"$dir/m.ttl", "genPlan" -> s"$dir/plan.bin"))
+    RmlCli.run(spark, Map("plan" -> s"$dir/plan.bin", "out" -> s"$dir/out2"))
+    assert(lines(s"$dir/out2") == lines(s"$dir/out1"))
+  }
+
   test("strict mode fails on invalid IRI; default skips the row (utils.cpp:186-199)") {
     val mapping =
       """@prefix rml: <http://w3id.org/rml/> .
