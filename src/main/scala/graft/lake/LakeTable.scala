@@ -159,6 +159,24 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * merge-on-read delta resolution (max-_lsn row per key wins). */
   def readFull(): DataFrame = resolved(currentSnapshot, None)
 
+  /** Time travel: the public view AS OF a snapshot version (every commit
+    * bumps the version; snapshots are immutable until [[expireSnapshots]]).
+    * Reads go through the per-snapshot file list, so history is exact. */
+  def readAt(version: Long): DataFrame = {
+    val s = snapshotAt(version)
+    val publicCols = s.schema.fields.map(_.name).filterNot(metaColNames.contains)
+    resolved(s, None).filter(col("_op") =!= "D")
+      .select(publicCols.map(col).toSeq: _*)
+  }
+
+  private def snapshotAt(version: Long): Snapshot = {
+    val prefix = f"v$version%08d-"
+    val p = Files.list(snapsDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith(prefix))
+      .getOrElse(sys.error(s"no snapshot for version $version (expired or never committed)"))
+    readSnapshot(p)
+  }
+
   /** Public view: tombstones dropped, metadata columns hidden. */
   def read(): DataFrame = {
     val s = currentSnapshot

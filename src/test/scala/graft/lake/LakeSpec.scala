@@ -145,6 +145,23 @@ class LakeSpec extends SparkSpec {
     assert(table.currentSnapshot.version == v)
   }
 
+  test("time travel: readAt(version) returns exact historical state") {
+    val table = new LakeTable(spark, tmpDir("tt-table"), numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    def batch(lsn: Long, text: String) =
+      Seq((lsn, "I", "c1", 0, "user", text))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+        .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, batch(1L, "v1"), 0L)
+    val vAfter1 = table.currentSnapshot.version
+    CdcApply.applyBatch(table, batch(2L, "v2"), 1L,
+      CdcApply.Options(mergeOnRead = true))
+    assert(table.read().select("text").as[String].collect().toSeq == Seq("v2"))
+    assert(table.readAt(vAfter1).select("text").as[String].collect().toSeq == Seq("v1"),
+      "historical snapshot must show the pre-update value")
+    assert(table.readAt(0L).count() == 0, "version 0 is the empty table")
+  }
+
   test("bucket weights persist in the snapshot (post-restart salting is informed)") {
     val dir = tmpDir("weights-table")
     val table = new LakeTable(spark, dir, numBuckets = 2)
