@@ -94,6 +94,24 @@ class TextOpsSpec extends SparkSpec {
     assert(sec < 60, s"mega-bucket guard must bound runtime, took $sec s")
   }
 
+  test("curation pipeline: funnel filters compose; near-dups keep min id") {
+    val extra = Seq(
+      (10L, "x"), // fails quality (too short)
+      (11L, "der hund und die katze und das pferd ist ein tier wirklich"), // non-en
+      (12L, "a red panda sleeps in the tall tree and dreams of warm snow")) // clean keeper
+    val input = docs.unionByName(extra.toDF("doc_id", "text"))
+    val (kept, report) = CurationPipeline.curate(input, "doc_id", "text",
+      CurationPipeline.Config(langs = Set("en"), jaccardThreshold = 0.6))
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(report.input == 8 && report.kept == ids.size)
+    assert(!ids.contains(10L), "quality gate (length)")
+    assert(!ids.contains(4L), "quality gate (no stopword hits)")
+    assert(!ids.contains(3L) && !ids.contains(11L), "language gate")
+    assert(!ids.contains(5L), "exact dup of 1 dropped")
+    assert(ids.contains(1L) && !ids.contains(2L), "near-dup cluster keeps min id")
+    assert(ids.contains(12L), "unrelated clean doc kept")
+  }
+
   test("rolling fingerprint: equal for dups, stable under prefix-append") {
     val fp1 = TextHashes.rollingFingerprint("abcdefghijklmnopqrstuvwxyz 0123", 8)
     val fp2 = TextHashes.rollingFingerprint("PREFIX abcdefghijklmnopqrstuvwxyz 0123", 8)
