@@ -27,6 +27,18 @@ case class MinHashSigExpr(child: Expression, k: Int, n: Int, seed: Long)
   override def prettyName: String = "minhash_sig"
 }
 
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int,
+    rowsPerBand: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.minHashBands(v.asInstanceOf[UTF8String].toString, k, bands, rowsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.minHashBands($c.toString(), $k, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashBandsExpr = copy(child = c)
+  override def prettyName: String = "minhash_bands"
+}
+
 case class SimHash64Expr(child: Expression, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
@@ -130,6 +142,9 @@ case class SignLshBucketExpr(child: Expression, bits: Int, seed: Long)
 object TextFunctions {
   def minhash_sig(c: Column, k: Int = 5, n: Int = 128, seed: Long = 42L): Column =
     EU.column(MinHashSigExpr(EU.expression(c), k, n, seed))
+  def minhash_bands(c: Column, k: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
+      seed: Long = 42L): Column =
+    EU.column(MinHashBandsExpr(EU.expression(c), k, bands, rowsPerBand, seed))
   def simhash64(c: Column, seed: Long = 42L): Column =
     EU.column(SimHash64Expr(EU.expression(c), seed))
   def rolling_fingerprint(c: Column, k: Int = 16): Column =

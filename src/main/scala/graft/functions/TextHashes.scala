@@ -73,6 +73,47 @@ object TextHashes {
     new GenericArrayData(mins)
   }
 
+  /** LSH band buckets in ONE pass: the minhash signature is banded into
+    * `bands` groups of `rowsPerBand` values and each band is folded to a
+    * single 64-bit bucket id (mixing in the band index so identical values
+    * in different bands never collide). Equivalent candidate structure to
+    * materializing the full signature and hashing slices, at a fraction of
+    * the allocation (no n-long array per row, no HOF slice/transform). */
+  def minHashBands(text: String, k: Int, bands: Int, rowsPerBand: Int,
+      seed: Long): ArrayData = {
+    val n = bands * rowsPerBand
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val len = text.length
+    val effK = math.min(k, math.max(1, len))
+    val last = math.max(0, len - effK)
+    val (as, bs) = affineParams(seed, n)
+    var pos = 0
+    while (pos <= last) {
+      val h = hashRange(text, pos, pos + effK, seed)
+      var i = 0
+      while (i < n) {
+        val v = mix64(as(i) * h + bs(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      pos += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = mix64(seed ^ (b.toLong * 0x9e3779b97f4a7c15L))
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = mix64(acc ^ mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over whitespace tokens: sum per-bit votes of each
     * token's hash, sign → bit. */
   def simHash64(text: String, seed: Long): Long = {

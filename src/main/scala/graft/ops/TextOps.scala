@@ -127,12 +127,10 @@ object TextOps {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
       seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
-    val n = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhash_sig(col(textCol), shingleK, n, seed).as("sig"))
-    val banded0 = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+    // band buckets computed in one native pass (no n-long signature array
+    // materialized per row, no HOF slice+hash chain)
+    val banded0 = df.select(col(idCol).as("id"), posexplode(
+        minhash_bands(col(textCol), shingleK, bands, rowsPerBand, seed)))
       .toDF("id", "band", "bucket")
     val banded = dropMegaBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
     val a = banded.as("a")
