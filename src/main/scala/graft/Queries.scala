@@ -156,10 +156,20 @@ object Queries {
       T(s, d, "orders").groupBy(col("o_orderpriority"))
         .agg(count_distinct(col("o_custkey")).as("n_cust"))),
 
-    // rollup / grouping sets (engine extension)
+    // rollup / cube / grouping sets (engine extensions)
     "q_rollup" -> ((s, d) =>
       T(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"))),
+    "q_cube" -> ((s, d) =>
+      T(s, d, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))),
+
+    // pivot (engine extension): fixed pivot values so the schema is static
+    "q_pivot" -> ((s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
 
     // top-k per group — salted two-stage (a naive single window over the
     // 5-value o_orderpriority would cap parallelism at 5 tasks; TopK keeps
@@ -401,6 +411,17 @@ object Queries {
 
     "q_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+
+    "q_cube" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+
+    "q_pivot" ->
+      ("SELECT user_id, count(*) FILTER (event_type = 'click') AS click, " +
+        "count(*) FILTER (event_type = 'view') AS view, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup') AS signup, " +
+        "count(*) FILTER (event_type = 'error') AS error " +
+        "FROM events GROUP BY user_id"),
 
     "q_topk_per_group" ->
       ("SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (" +
