@@ -61,7 +61,12 @@ object StreamSessions {
         }
         open.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.endMs + gapMs)
+          // a timeout at-or-before the current watermark is rejected by
+          // Spark; if late events put the session's horizon behind the
+          // watermark, arm the earliest legal timeout so it closes on the
+          // next trigger instead of crashing the query
+          state.setTimeoutTimestamp(
+            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.result().iterator
       }
