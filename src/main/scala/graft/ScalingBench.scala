@@ -51,6 +51,7 @@ object ScalingBench {
         compactEvery = 16, pipelineDepth = 4, shuffleFreeAppend = true)
       case _ => graft.cdc.CdcApply.Options()
     }
+    val buckets = args.drop(5).headOption.map(_.toInt).getOrElse(32)
     val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString
 
     def loadAvg: String = try {
@@ -60,8 +61,8 @@ object ScalingBench {
     def once(cores: Int, warm: Boolean): (Double, Double) = {
       val s = session(cores)
       val segments = Bench.genLog(s, work, numEvents, 8)
-      if (warm) Bench.replayOnce(s, segments, numEvents, buckets = 32, opts)
-      val r = Bench.replayOnce(s, segments, numEvents, buckets = 32, opts)
+      if (warm) Bench.replayOnce(s, segments, numEvents, buckets, opts)
+      val r = Bench.replayOnce(s, segments, numEvents, buckets, opts)
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       r
