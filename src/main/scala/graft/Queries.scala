@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
 
 /**
  * The driver-contract query inventory: one entry per implemented operator
- * (SURVEY.md §2) plus the training-data pipeline operators. Each query has
- * a DuckDB oracle in [[Queries.oracleSql]] where ANSI-SQL-expressible;
- * non-SQL-expressible ops (minhash/simhash/LSH/fingerprints/media) get
- * rows-only checks here and exact oracles in the ScalaTest suites.
+ * (SURVEY.md §2) plus the training-data pipeline operators. EVERY query has
+ * an exact DuckDB oracle in [[Queries.oracleSql]] — including the
+ * sketch/hash family (minhash/simhash/LSH/fingerprints/media), whose
+ * 64-bit wrapping arithmetic is emulated SQL-side by [[OracleSql]].
  *
  * Oracle-parity rules observed throughout: aliases identical on both
  * sides; integer/boolean/string outputs preferred (no float arithmetic
  * whose accumulation order could differ); sums only over integral values;
- * ties in any ordering broken by a unique key.
+ * ties in any ordering broken by a unique key; sketch detectors
+ * recall-engineered so their verified output EQUALS the brute-force truth
+ * the oracle computes.
  */
 object Queries {
 
