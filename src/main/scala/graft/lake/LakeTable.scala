@@ -59,6 +59,18 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * commits strictly in order through this lock). */
   private val commitLock = new Object
 
+  /** Materialize-and-CLOSE wrappers around Files.list/walk — the raw
+    * streams hold a file descriptor until GC, which leaks real FDs over
+    * 10^4+ commits of a long-running stream. */
+  private def listed(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+  private def walked(p: Path): Seq[Path] = {
+    val st = Files.walk(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   // ---- snapshot state ----------------------------------------------------
 
   def exists: Boolean = Files.exists(latestPtr)
@@ -171,7 +183,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
 
   private def snapshotAt(version: Long): Snapshot = {
     val prefix = f"v$version%08d-"
-    val p = Files.list(snapsDir).iterator().asScala
+    val p = listed(snapsDir)
       .find(_.getFileName.toString.startsWith(prefix))
       .getOrElse(sys.error(s"no snapshot for version $version (expired or never committed)"))
     readSnapshot(p)
@@ -483,9 +495,9 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     buckets.map { b =>
       val d = outDir.resolve(s"_bucket=$b")
       val fs = if (Files.exists(d))
-        Files.list(d).iterator().asScala
+        listed(d)
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .map(p => rootPath.relativize(p).toString).toSeq
+          .map(p => rootPath.relativize(p).toString)
       else Seq.empty[String]
       b -> fs
     }.toMap
@@ -529,8 +541,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     commitLock.synchronized {
       require(keep >= 1, "must keep at least the current snapshot")
       val current = Files.readString(latestPtr).trim
-      val all = Files.list(snapsDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+      val all = listed(snapsDir)
+        .filter(_.getFileName.toString.endsWith(".json"))
         .sortBy(_.getFileName.toString)
       // version prefix sorts lexicographically; never expire the pointer target
       val retained = (all.takeRight(keep).map(_.getFileName.toString) :+ current).toSet
@@ -545,18 +557,17 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       val cutoff = System.currentTimeMillis() - graceMs
       val dataDir = rootPath.resolve("data")
       if (Files.exists(dataDir)) {
-        Files.walk(dataDir).iterator().asScala
+        walked(dataDir) // materialized, stream closed, before deleting
           .filter(p => Files.isRegularFile(p))
           .filter(p => !referenced.contains(rootPath.relativize(p).toString))
           .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-          .toSeq // materialize before deleting (walk stream over live dir)
           .foreach(Files.deleteIfExists(_))
         // sweep now-empty commit dirs
-        Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+        listed(dataDir).foreach { d =>
           if (Files.isDirectory(d)) {
-            val empty = !Files.walk(d).iterator().asScala.exists(Files.isRegularFile(_))
-            if (empty) Files.walk(d).iterator().asScala.toSeq.reverse
-              .foreach(Files.deleteIfExists(_))
+            val entries = walked(d)
+            if (!entries.exists(Files.isRegularFile(_)))
+              entries.reverse.foreach(Files.deleteIfExists(_))
           }
         }
       }
@@ -598,7 +609,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   def lineage(): DataFrame = {
     flushLineage()
     val dir = rootPath.resolve("lineage")
-    val any = Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".jsonl"))
+    val any = listed(dir).exists(_.toString.endsWith(".jsonl"))
     if (any) spark.read.json(dir.toString)
     else spark.emptyDataFrame
   }
