@@ -183,6 +183,16 @@ object Queries {
         ordering = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         k = 2, saltExpr = xxhash64(col("o_orderkey")))),
 
+    // corpus vocabulary: top-50 terms (ties broken by term for determinism)
+    "q_vocab" -> ((s, d) =>
+      TextOps.vocabulary(T(s, d, "documents"), "text")
+        .orderBy(col("occurrences").desc, col("term").asc).limit(50)),
+
+    // deterministic text normalization before exact dedup
+    "q_normalize" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm"))),
+
     // gap-based sessionization (training-data pipeline op)
     "q_sessionize" -> ((s, d) =>
       TextOps.sessionize(
@@ -431,6 +441,14 @@ object Queries {
 
     "q_sql_safe_iri" ->
       "SELECT p_partkey, replace(p_name, ' ', '%20') AS enc FROM part",
+
+    "q_vocab" ->
+      (s"SELECT term, occurrences FROM (SELECT term, count(*) AS occurrences FROM " +
+        s"(SELECT unnest($toks) AS term FROM documents) GROUP BY term) " +
+        "ORDER BY occurrences DESC, term ASC LIMIT 50"),
+
+    "q_normalize" ->
+      raw"SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents",
 
     "q_sessionize" ->
       ("SELECT user_id, event_id, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +

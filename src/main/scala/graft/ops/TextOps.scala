@@ -70,6 +70,20 @@ object TextOps {
           stopwordCount(text, langStopwords.flatMap(_._2)) >= 1)
   }
 
+  /** Corpus vocabulary: term → document frequency + total occurrences over
+    * whitespace tokens. One explode + one aggregation; the classic
+    * vocabulary/BPE-seed pass of a training-data pipeline. */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(split(col(textCol), "\\s+"), t => t =!= "")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("occurrences"))
+
+  /** Deterministic text normalization: lowercase, collapse all whitespace
+    * runs to single spaces, trim — the canonicalization step before exact
+    * dedup so trivially-reformatted copies hash identically. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Gap-based sessionization: a new session starts when the gap since the
     * user's previous event exceeds `gapSeconds`. One exchange on the user
     * key (high-cardinality → full parallelism); session ids are the running
