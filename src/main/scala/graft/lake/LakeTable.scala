@@ -148,8 +148,22 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     s.appliedExceptions.toSeq.sorted.foreach(exc.add)
     val wn = node.putObject("bucketWeights")
     s.bucketWeights.foreach { case (b, w) => wn.put(b.toString, w) }
-    val name = f"v${s.version}%08d-${UUID.randomUUID().toString.take(8)}.json"
-    Files.writeString(snapsDir.resolve(name), mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    // the snapshot file name IS the optimistic-concurrency token: exactly
+    // one committer can CREATE_NEW `v<N>.json`, so a second process
+    // committing against the same parent version fails LOUDLY here instead
+    // of silently clobbering the pointer (Iceberg's version-file CAS).
+    // Retry-ability: the loser re-reads currentSnapshot and re-applies.
+    val name = f"v${s.version}%08d.json"
+    val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+    val tmpSnap = snapsDir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmpSnap, body)
+    try Files.move(tmpSnap, snapsDir.resolve(name)) // no REPLACE: fails if version exists
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmpSnap)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot version ${s.version} already committed by another writer", e)
+    }
     // atomic pointer flip: tmp + ATOMIC_MOVE (SURVEY.md §7.4 risk 1)
     val tmp = rootPath.resolve(s"_latest.tmp.${UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, name)
@@ -182,7 +196,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   }
 
   private def snapshotAt(version: Long): Snapshot = {
-    val prefix = f"v$version%08d-"
+    val prefix = f"v$version%08d" // current exact form + legacy dashed form
     val p = listed(snapsDir)
       .find(_.getFileName.toString.startsWith(prefix))
       .getOrElse(sys.error(s"no snapshot for version $version (expired or never committed)"))

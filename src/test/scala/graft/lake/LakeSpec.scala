@@ -162,6 +162,30 @@ class LakeSpec extends SparkSpec {
     assert(table.readAt(0L).count() == 0, "version 0 is the empty table")
   }
 
+  test("commit is a version CAS: a racing writer's claimed version fails loudly") {
+    val dir = tmpDir("cas-table")
+    val a = new LakeTable(spark, dir, numBuckets = 2)
+    a.create(Model.transcriptSchema)
+    def batch(lsn: Long, conv: String) =
+      Seq((lsn, "I", conv, 0, "user", s"t$lsn"))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+        .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    val w1 = a.writeDeltaFiles(CdcApply.prepareBatch(batch(1L, "c1")), Model.keyCols)
+    assert(a.commitDelta(0L, w1)) // → v1
+    // simulate another PROCESS that won the race to version 2: the version
+    // file exists but our pointer/snapshot reads predate it
+    val claimed = java.nio.file.Paths.get(dir, "snapshots", "v00000002.json")
+    java.nio.file.Files.writeString(claimed, "{}")
+    val w2 = a.writeDeltaFiles(CdcApply.prepareBatch(batch(2L, "c2")), Model.keyCols)
+    val e = intercept[java.util.ConcurrentModificationException] { a.commitDelta(1L, w2) }
+    assert(e.getMessage.contains("already committed"))
+    // the loser's files stay orphaned; after the conflict clears, a retry
+    // against the refreshed chain succeeds and state is exactly-once
+    java.nio.file.Files.delete(claimed)
+    assert(a.commitDelta(1L, w2))
+    assert(a.read().count() == 2)
+  }
+
   test("bucket weights persist in the snapshot (post-restart salting is informed)") {
     val dir = tmpDir("weights-table")
     val table = new LakeTable(spark, dir, numBuckets = 2)
