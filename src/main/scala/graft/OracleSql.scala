@@ -190,16 +190,63 @@ object OracleSql {
       s"FROM ($scored)) WHERE rank <= $k"
   }
 
+  /** q_emb_ann_ivf: the IVF index emulated end-to-end — centroids = the
+    * `nlist` smallest-id vectors (rank-1 as cell id), every vector assigned
+    * to its max-cosine centroid (ties → lowest cell, mirroring the Scala
+    * first-wins argmax), the min-vec_id query probes its `nprobe` nearest
+    * cells, candidates ranked by exact cosine. All cosines are j-ordered
+    * left folds (bit-identical to the engine's sequential double
+    * accumulation), so assignment and ranking agree exactly. */
+  def annIvf(nlist: Int = 16, nprobe: Int = 4, k: Int = 10): String = {
+    def fold(lenOf: String, body: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($lenOf) + 1), i -> $body)), (x, y) -> x + y)"
+    def cosOf(a: String, b: String) = {
+      val na = fold(a, s"$a[i] * $a[i]"); val nb = fold(a, s"$b[i] * $b[i]")
+      val dot = fold(a, s"$a[i] * $b[i]")
+      s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END"
+    }
+    val cents = s"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, " +
+      s"CAST(embedding AS DOUBLE[]) AS cv " +
+      s"FROM (SELECT vec_id, embedding FROM ($embSrc) ORDER BY vec_id LIMIT $nlist)"
+    val vecs = s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ($embSrc)"
+    val qv = s"SELECT CAST(embedding AS DOUBLE[]) AS qv FROM ($embSrc) ORDER BY vec_id LIMIT 1"
+    val assigned = s"SELECT vec_id, cell FROM (SELECT e.vec_id, ct.c AS cell, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.v", "ct.cv")} DESC, ct.c ASC) AS rn " +
+      s"FROM ($vecs) e, ($cents) ct) WHERE rn = 1"
+    val probes = s"SELECT c FROM (SELECT ct.c, " +
+      s"row_number() OVER (ORDER BY ${cosOf("q.qv", "ct.cv")} DESC, ct.c ASC) AS rn " +
+      s"FROM ($qv) q, ($cents) ct) WHERE rn <= $nprobe"
+    val scored = s"SELECT e.vec_id, ${cosOf("e.v", "q.qv")} AS cos FROM ($vecs) e " +
+      s"JOIN ($assigned) a ON e.vec_id = a.vec_id JOIN ($probes) p ON a.cell = p.c, ($qv) q"
+    s"SELECT vec_id, CAST(rank AS INT) AS rank FROM (" +
+      s"SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank " +
+      s"FROM ($scored)) WHERE rank <= $k"
+  }
+
   /** q_emb_neardup: pair set (id_a, id_b) with cosine ≥ threshold over
-    * embeddings + identical-vector copies (id + 10^6). Brute force — the
-    * Spark side's shared-bucket candidates have guaranteed recall for the
-    * identical planted vectors, and synthetic gaussian pairs sit far below
-    * any usable threshold. */
+    * embeddings + PERTURBED copies (id + 10^6; component j scaled by
+    * 1+((j%7)-3)·0.125, float-rounded — mirrors
+    * Queries.withPerturbedEmbeddings bit-for-bit: exact binary constants,
+    * FLOAT cast = IEEE round-to-nearest both sides). Brute force, so this
+    * genuinely tests the detector's multi-band recall on non-identical
+    * near-threshold pairs. Near-threshold decisions use the j-ordered
+    * left-fold cosine (reproduces the Scala sequential double accumulation
+    * bit-for-bit); list_cosine_similarity only PRE-FILTERS at a 1e-3
+    * margin — the two agree to ~1e-15, so no pair's membership is decided
+    * by the fast path. */
   def embNearDup(threshold: Double): String = {
+    val pert = "[CAST(embedding[j+1] * (1.0 + ((j % 7) - 3) * 0.125) AS FLOAT) " +
+      "FOR j IN range(0, len(embedding))]"
     val inp = s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ($embSrc) " +
-      s"UNION ALL SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ($embSrc)"
-    s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ($inp) a, ($inp) b " +
-      s"WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= $threshold"
+      s"UNION ALL SELECT vec_id + 1000000 AS vec_id, CAST($pert AS DOUBLE[]) AS v FROM ($embSrc)"
+    def fold(body: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> $body)), (x, y) -> x + y)"
+    val cos = s"CASE WHEN ${fold("a.v[i] * a.v[i]")} = 0.0 OR ${fold("b.v[i] * b.v[i]")} = 0.0 THEN 0.0 " +
+      s"ELSE ${fold("a.v[i] * b.v[i]")} / (sqrt(${fold("a.v[i] * a.v[i]")}) * sqrt(${fold("b.v[i] * b.v[i]")})) END"
+    s"SELECT id_a, id_b FROM (" +
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos FROM ($inp) a, ($inp) b " +
+      s"WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= ${threshold - 0.001}" +
+      s") WHERE cos >= $threshold"
   }
 
   /** q_media_features: kind + feature length + integer feature checksum,

@@ -272,23 +272,30 @@ object Queries {
     // output EQUALS the brute-force jaccard pair set the oracle computes;
     // 5-row bands keep unrelated pairs (corpus median jaccard ≈ 0.18) to
     // ~1% candidate rate — 3-row bands would make a third of ALL pairs
-    // candidates and explode the verify join at scale
+    // candidates and explode the verify join at scale. maxBucketSize=0:
+    // the mega-bucket guard is OFF here so the exactness contract vs the
+    // brute-force oracle holds unconditionally (guard stays on by default
+    // for production callers).
     "q_doc_neardup_minhash" -> ((s, d) =>
       TextOps.nearDupPairs(withPerturbedCopies(T(s, d, "documents")), "doc_id", "text",
-        threshold = 0.7, bands = 64, rowsPerBand = 5)),
+        threshold = 0.7, bands = 64, rowsPerBand = 5, maxBucketSize = 0)),
 
-    // maxDist+1 chunking gives GUARANTEED recall (TextOps.simhashNearDups),
-    // so the output is exactly the hamming≤4 pair set the oracle computes
+    // maxDist+1 chunking gives pigeonhole-guaranteed recall
+    // (TextOps.simhashNearDups), so with the mega-bucket guard off the
+    // output is exactly the hamming≤4 pair set the oracle computes
     "q_doc_neardup_simhash" -> ((s, d) =>
       TextOps.simhashNearDups(withPerturbedCopies(T(s, d, "documents")), "doc_id", "text",
-        maxDist = 4)),
+        maxDist = 4, maxBucketSize = 0)),
 
-    // embedding near-dup pairs over planted identical-vector copies
+    // embedding near-dup pairs over planted PERTURBED copies (cos ≈
+    // 0.96–0.98 vs their originals — near but not at the 0.95 threshold),
+    // so the brute-force oracle genuinely exercises detector recall on
+    // non-identical vectors. 32×10 banding: miss ≈ 1.5e-7 per true pair at
+    // cos 0.96 (VectorOps.embeddingNearDups docstring).
     "q_emb_neardup" -> ((s, d) => {
       val emb = T(s, d, "embeddings").select("vec_id", "embedding")
-      val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      VectorOps.embeddingNearDups(emb.unionByName(copies), "vec_id", "embedding",
-          threshold = 0.95, bits = 8)
+      VectorOps.embeddingNearDups(withPerturbedEmbeddings(emb), "vec_id", "embedding",
+          threshold = 0.95)
         .select("id_a", "id_b")
     }),
 
@@ -315,6 +322,14 @@ object Queries {
       val emb = T(s, d, "embeddings")
       VectorOps.cosineTopKLsh(emb, "vec_id", "embedding", queryVec(emb), 10, bits = 8)
     }),
+    // IVF coarse-quantizer ANN (the second index family — cell-pruned scan
+    // vs the LSH bucket probe above); oracle emulates centroid assignment,
+    // probing and ranking bit-for-bit
+    "q_emb_ann_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      VectorOps.cosineTopKIvf(emb, "vec_id", "embedding", queryVec(emb), 10,
+        nlist = 16, nprobe = 4)
+    }),
 
     // multimodal plumbing (stubbed decode, real schema/batching); the
     // integer checksum over the decoded feature vector gives the oracle a
@@ -334,6 +349,19 @@ object Queries {
     val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       substring(col("text"), 11, 1000000).as("text"))
     docs.select("doc_id", "text").unionByName(copies)
+  }
+
+  /** Embedding near-dup test input: the vectors plus DETERMINISTICALLY
+    * PERTURBED copies (id+10^6; component j scaled by 1+((j%7)-3)·0.125 —
+    * exact binary constants, float-rounded, so DuckDB reproduces the copy
+    * bit-for-bit and both sides see identical cosines near the threshold).
+    * Typical copy↔original cosine lands in ≈[0.96, 0.98]. */
+  def withPerturbedEmbeddings(emb: DataFrame): DataFrame = {
+    val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        (x * (lit(1.0) + (j % 7 - 3).cast("double") * lit(0.125))).cast("float"))
+        .as("embedding"))
+    emb.unionByName(copies)
   }
 
   /** Deterministic ANN query vector: the embedding of the smallest vec_id. */
@@ -505,6 +533,7 @@ object Queries {
     "q_doc_neardup_simhash" -> OracleSql.neardupSimhash(maxDist = 4),
     "q_doc_fingerprint" -> OracleSql.fingerprint(k = 16),
     "q_emb_ann_lsh" -> OracleSql.annLsh(bits = 8, dim = 64, k = 10),
+    "q_emb_ann_ivf" -> OracleSql.annIvf(nlist = 16, nprobe = 4, k = 10),
     "q_emb_neardup" -> OracleSql.embNearDup(threshold = 0.95),
     "q_media_features" -> OracleSql.mediaFeatures(),
     "q_json_iterator" ->

@@ -62,7 +62,13 @@ object ScalingBench {
       val s = session(cores)
       val segments = Bench.genLog(s, work, numEvents, 8)
       if (warm) Bench.replayOnce(s, segments, numEvents, buckets, opts)
+      // straggler instrumentation (GRAFT_STAGE_STATS=1): per-stage task
+      // max/mean over the measured replay — the write-stage tail is the
+      // in-JVM scaling limiter round 2 identified; target max/mean ≤ 2
+      val tail = if (sys.env.get("GRAFT_STAGE_STATS").contains("1"))
+        Some(new StageTailListener(s)) else None
       val r = Bench.replayOnce(s, segments, numEvents, buckets, opts)
+      tail.foreach(_.report(cores))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       r
@@ -83,5 +89,36 @@ object ScalingBench {
 
     val efficiency = (eps4N / epsN) / (n4.toDouble / n)
     println(f"""{"bench":"scaling","events":$numEvents,"reps":$reps,"local[$n]_events_per_sec":$epsN%.0f,"local[$n4]_events_per_sec":$eps4N%.0f,"local[$n]_sec":$secN%.2f,"local[$n4]_sec":$sec4N%.2f,"scaling_efficiency":$efficiency%.3f}""")
+  }
+}
+
+/** Per-stage successful-task durations → max/mean tail report for stages
+  * wide enough to matter (≥ cores tasks). Stderr-only diagnostics. */
+class StageTailListener(spark: SparkSession) extends org.apache.spark.scheduler.SparkListener {
+  private val stages =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[java.lang.Long]]()
+  spark.sparkContext.addSparkListener(this)
+
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    if (te.taskInfo != null && te.taskInfo.successful)
+      stages.computeIfAbsent(te.stageId, _ => new java.util.Vector[java.lang.Long]())
+        .add(te.taskInfo.duration)
+
+  def report(cores: Int): Unit = {
+    org.apache.spark.sql.GraftShim.waitListenerBusEmpty(spark)
+    import scala.jdk.CollectionConverters._
+    val wide = stages.asScala.toSeq
+      .map { case (sid, ds) => (sid, ds.asScala.map(_.toLong).toSeq) }
+      .filter { case (_, ds) => ds.size >= cores && ds.sum > 200 * ds.size } // skip trivial stages
+      .map { case (sid, ds) =>
+        (sid, ds.size, ds.max.toDouble / math.max(1.0, ds.sum.toDouble / ds.size)) }
+    if (wide.nonEmpty) {
+      val ratios = wide.map(_._3).sorted
+      val worst = wide.maxBy(_._3)
+      System.err.println(f"[stage-tail] cores=$cores stages=${wide.size} " +
+        f"median_max_over_mean=${ratios(ratios.size / 2)}%.2f " +
+        f"worst=${worst._3}%.2f (stage ${worst._1}, ${worst._2} tasks)")
+    }
+    spark.sparkContext.removeSparkListener(this)
   }
 }

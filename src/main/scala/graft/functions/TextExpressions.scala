@@ -138,6 +138,36 @@ case class SignLshBucketExpr(child: Expression, bits: Int, seed: Long)
   override def prettyName: String = "sign_lsh_bucket"
 }
 
+/** Multi-band sign-LSH bucket array (`bands` longs) for an `array<float>`
+  * vector — the recall-engineered near-dup banding (TextHashes.signLshBands). */
+case class SignLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
+    seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.signLshBands(v.asInstanceOf[ArrayData], bands, bitsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorMath.signLshBands($c, $bands, $bitsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SignLshBandsExpr = copy(child = c)
+  override def prettyName: String = "sign_lsh_bands"
+}
+
+/** IVF assignment: index of the nearest (max-cosine) coarse centroid for an
+  * `array<float>` vector. The centroid matrix rides along as a codegen
+  * reference object. */
+case class NearestCentroidExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.nearestCentroid(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("graftCentroids", cents, "double[][]")
+    defineCodeGen(ctx, ev, x => s"graft.functions.VectorMath.nearestCentroid($x, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
 /** Column-level API. */
 object TextFunctions {
   def minhash_sig(c: Column, k: Int = 5, n: Int = 128, seed: Long = 42L): Column =
@@ -161,4 +191,9 @@ object TextFunctions {
     EU.column(CosineToQueryExpr(EU.expression(c), query))
   def sign_lsh_bucket(c: Column, bits: Int = 16, seed: Long = 42L): Column =
     EU.column(SignLshBucketExpr(EU.expression(c), bits, seed))
+  def sign_lsh_bands(c: Column, bands: Int = 32, bitsPerBand: Int = 10,
+      seed: Long = 42L): Column =
+    EU.column(SignLshBandsExpr(EU.expression(c), bands, bitsPerBand, seed))
+  def nearest_centroid(c: Column, cents: Array[Array[Double]]): Column =
+    EU.column(NearestCentroidExpr(EU.expression(c), cents))
 }

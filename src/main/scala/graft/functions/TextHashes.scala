@@ -61,7 +61,10 @@ object TextHashes {
     var i = 0
     var pos = 0
     while (pos <= last) {
-      val h = hashRange(text, pos, pos + effK, seed)
+      // min(pos+effK, len) clamps ONLY the empty-string case to the empty
+      // shingle [0,0) — matching the oracle's substring('',1,1)='' — and is
+      // a no-op for non-empty text (pos+effK ≤ len by construction)
+      val h = hashRange(text, pos, math.min(pos + effK, len), seed)
       i = 0
       while (i < n) {
         val v = mix64(as(i) * h + bs(i))
@@ -90,7 +93,8 @@ object TextHashes {
     val (as, bs) = affineParams(seed, n)
     var pos = 0
     while (pos <= last) {
-      val h = hashRange(text, pos, pos + effK, seed)
+      // empty-string clamp — see minHashSig
+      val h = hashRange(text, pos, math.min(pos + effK, len), seed)
       var i = 0
       while (i < n) {
         val v = mix64(as(i) * h + bs(i))
@@ -197,7 +201,8 @@ object TextHashes {
     val set = new java.util.TreeSet[java.lang.Long]()
     var pos = 0
     while (pos <= last) {
-      set.add(hashRange(text, pos, pos + effK, seed))
+      // empty-string clamp — see minHashSig
+      set.add(hashRange(text, pos, math.min(pos + effK, len), seed))
       pos += 1
     }
     val out = new Array[Long](set.size)
@@ -264,6 +269,63 @@ object VectorMath {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Index of the nearest (max-cosine) coarse centroid — the IVF
+    * assignment step. First-wins argmax (strict `>`), so ties keep the
+    * lowest centroid index — mirrors the oracle's ORDER BY cos DESC, c ASC.
+    * Per-centroid cosine uses the same sequential double accumulation as
+    * [[cosineToQuery]] (bit-for-bit SQL-emulable). */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val q = cents(c)
+      val n = math.min(v.numElements(), q.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val a = v.getFloat(i).toDouble
+        dot += a * q(i); na += a * a; nb += q(i) * q(i)
+        i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Multi-band sign-LSH buckets in ONE pass: `bands` independent bands of
+    * `bitsPerBand` hyperplane sign bits each — out(b) = the b-th band's
+    * bit pattern. Bands share the plane pool of [[signLshBucket]] (global
+    * plane index p = b*bitsPerBand + r), so the oracle emulation is one
+    * formula. Recall engineering for near-dup detection at cosine t:
+    * p = 1 - acos(t)/π per bit, P(candidate) = 1 - (1 - p^r)^b — e.g.
+    * 32 bands × 10 bits at t=0.95 gives miss ≈ 1.3e-6 per true pair while
+    * unrelated pairs (cos≈0, p=0.5) collide with P ≈ 3% (the single-band
+    * predecessor missed ~57% of true pairs at 0.95 — VERDICT r2). */
+  def signLshBands(v: ArrayData, bands: Int, bitsPerBand: Int, seed: Long): ArrayData = {
+    val n = v.numElements()
+    val planes = planesFor(seed, bands * bitsPerBand, n)
+    val out = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var pattern = 0L
+      var r = 0
+      while (r < bitsPerBand) {
+        val off = (band * bitsPerBand + r) * n
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += v.getFloat(j).toDouble * planes(off + j); j += 1 }
+        if (dot >= 0) pattern |= (1L << r)
+        r += 1
+      }
+      out(band) = pattern
+      band += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Sign-bit LSH bucket of a vector under `bits` pseudo-random

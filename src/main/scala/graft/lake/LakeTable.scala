@@ -48,8 +48,18 @@ import scala.jdk.CollectionConverters._
  *    work — the scaling-efficiency lever for the 10^10-event replay.
  */
 class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int = 16,
-    val keyCols: Seq[String] = graft.model.Model.keyCols) {
+    val keyCols: Seq[String] = graft.model.Model.keyCols,
+    /** Auto-maintenance cadence: every N commits, [[expireSnapshots]] runs
+      * inline (keeping `autoExpireKeep` snapshots) so a months-long stream
+      * never accumulates unbounded snapshot JSONs / orphaned files without
+      * anyone scheduling maintenance. 0 disables (manual maintenance). */
+    val autoExpireEvery: Int = 64,
+    val autoExpireKeep: Int = 4) {
   import LakeTable._
+
+  /** Commits since the last auto-expiry (driver-side counter; a restart
+    * merely delays the next expiry by <N commits). */
+  private var commitsSinceExpire = 0
 
   private val rootPath: Path = Paths.get(root)
   private val snapsDir: Path = rootPath.resolve("snapshots")
@@ -149,26 +159,39 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val wn = node.putObject("bucketWeights")
     s.bucketWeights.foreach { case (b, w) => wn.put(b.toString, w) }
     // the snapshot file name IS the optimistic-concurrency token: exactly
-    // one committer can CREATE_NEW `v<N>.json`, so a second process
-    // committing against the same parent version fails LOUDLY here instead
-    // of silently clobbering the pointer (Iceberg's version-file CAS).
+    // one committer can create `v<N>.json`, so a second process committing
+    // against the same parent version fails LOUDLY here instead of silently
+    // clobbering the pointer (Iceberg's version-file CAS). The create must
+    // be TRULY exclusive: a non-REPLACE Files.move is stat-then-rename in
+    // the JDK unix provider (two racers in the TOCTOU window both succeed),
+    // so the snapshot body is staged to a tmp file and published with
+    // createLink — an atomic hard-link syscall that fails EEXIST, with no
+    // partially-written target ever visible to readers listing snapsDir.
     // Retry-ability: the loser re-reads currentSnapshot and re-applies.
     val name = f"v${s.version}%08d.json"
     val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     val tmpSnap = snapsDir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmpSnap, body)
-    try Files.move(tmpSnap, snapsDir.resolve(name)) // no REPLACE: fails if version exists
+    try Files.createLink(snapsDir.resolve(name), tmpSnap)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmpSnap)
         throw new java.util.ConcurrentModificationException(
           s"snapshot version ${s.version} already committed by another writer", e)
-    }
+    } finally Files.deleteIfExists(tmpSnap)
     // atomic pointer flip: tmp + ATOMIC_MOVE (SURVEY.md §7.4 risk 1)
     val tmp = rootPath.resolve(s"_latest.tmp.${UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, name)
     Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     cachedSnap = (name, s)
+    // auto-maintenance: amortized snapshot/orphan GC (commitLock is
+    // reentrant, so calling expireSnapshots from inside commit is safe)
+    if (autoExpireEvery > 0 && s.version > 0) {
+      commitsSinceExpire += 1
+      if (commitsSinceExpire >= autoExpireEvery) {
+        commitsSinceExpire = 0
+        expireSnapshots(keep = math.max(1, autoExpireKeep))
+      }
+    }
   }
 
   /** Stable bucket assignment under the CURRENT snapshot's bucket count
@@ -302,11 +325,25 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val written = newFiles.filter(_._2.nonEmpty)
     val stats = footerStats(written)
     commitLock.synchronized {
-      val s = currentSnapshot // re-read: schema may not have changed (no concurrent CoW), but stay safe
+      val s = currentSnapshot // re-read: another committer may have won since s0
+      // Concurrent MoR deltas committed between our snapshot read and this
+      // commit were NOT folded into the rewrite — keep them outstanding
+      // (compact()'s diff approach) instead of silently dropping them. A
+      // concurrent BASE rewrite of an affected bucket cannot be reconciled
+      // (our rewrite no longer contains its rows) — fail loudly; the caller
+      // re-reads and retries, same contract as the version-file CAS.
+      val baseChanged = listSet.exists(b =>
+        s.files.getOrElse(b, Nil) != s0.files.getOrElse(b, Nil))
+      if (baseChanged)
+        throw new java.util.ConcurrentModificationException(
+          s"base files of affected buckets rewritten since merge read snapshot v${s0.version}")
       val schema2 = StructType(s.schema.fields ++ addedFields(s.schema, newCols))
       val files2 = (s.files -- listSet) ++ written
+      val foldedDeltas = s.deltas.map { case (b, fs) =>
+        b -> (if (listSet.contains(b)) fs.diff(s0.deltas.getOrElse(b, Nil)) else fs)
+      }.filter(_._2.nonEmpty)
       commit(s.copy(version = s.version + 1, schema = schema2, files = files2,
-        deltas = s.deltas -- listSet,
+        deltas = foldedDeltas,
         bucketWeights = stats.map(x => x._1 -> x._2).toMap).withApplied(batchId))
     }
     Some(stats)
@@ -474,10 +511,22 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val baseFactor = math.max(1, math.min(math.max(saltPartitions, 1),
       math.ceil(cores.toDouble / nAffected).toInt))
     val saltOf: Map[Int, Int] = if (bucketWeights.nonEmpty && saltPartitions > 0) {
-      val avg = math.max(1L, bucketWeights.values.sum / math.max(1, bucketWeights.size))
+      // Weight-PROPORTIONAL slice allocation against a budget of one full
+      // wave (T = cores): slices(b) ≈ weight(b)/totalW × T, so every slice
+      // carries ≈ totalW/T rows REGARDLESS of bucket skew. The previous
+      // scheme capped a bucket at `saltPartitions` slices, so a bucket
+      // holding k× the average weight ran slices k/saltPartitions× the
+      // mean task — the 4–7× straggler tail round 2's event-log analysis
+      // measured. A bucket may now take up to the whole budget (a fully
+      // hot bucket spreads across all cores); each slice still costs one
+      // parquet file, and total files stay ≈ T + |affected|.
+      val T = math.max(cores, nAffected)
+      val totalW = math.max(1L,
+        affected.toSeq.map(b => bucketWeights.getOrElse(b, 0L)).sum)
       affected.map { b =>
-        val skew = math.ceil(bucketWeights.getOrElse(b, 0L).toDouble / avg).toInt
-        b -> math.max(baseFactor, math.min(saltPartitions, skew))
+        val ideal = math.ceil(
+          bucketWeights.getOrElse(b, 0L).toDouble / totalW * T).toInt
+        b -> math.max(1, math.min(T, ideal))
       }.toMap
     } else affected.map(_ -> baseFactor).toMap
     val totalParts = math.max(1, saltOf.values.sum)

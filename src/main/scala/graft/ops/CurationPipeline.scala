@@ -32,18 +32,41 @@ object CurationPipeline {
     def dropped: Long = input - kept
   }
 
-  /** Returns (curated docs, funnel report). Input needs (idCol, textCol). */
+  /** Returns (curated docs, funnel report). Input needs (idCol, textCol).
+    *
+    * Cost contract: the whole funnel (report included) runs in exactly TWO
+    * jobs, and the LSH near-dup pass executes ONCE. Round-2 shape ran five
+    * `count()` actions, each re-executing its upstream lineage — at 100 TB
+    * the report quintupled the pipeline. Now: the input→quality→lang chain
+    * carries `observe()` metrics (collected for free by whichever action
+    * evaluates the chain), the exact-dedup survivor set is cached — job 1
+    * materializes it and yields the first four funnel numbers — and job 2
+    * counts the LSH survivors over the cache. The returned `kept` plan also
+    * reads the cache, so the caller's action re-runs only the anti-join,
+    * not the upstream funnel; call `unpersistFunnelCache()` (or let LRU
+    * eviction handle it) once done. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, Report) = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
     val input = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-    val quality = TextOps.qualitySignals(input, col("text"))
-      .filter(col("quality_ok")).select("doc_id", "text")
-    val lang = quality
+    // ONE observe node ahead of the filters measures all three narrow
+    // stages at once (conditional sums over the pre-filter rows); it sits
+    // above the cache boundary, so it is evaluated exactly once
+    val observed = TextOps.qualitySignals(input, col("text"))
       .withColumn("_lang", TextOps.langId(col("text")))
-      .filter(col("_lang").isin(cfg.langs.toSeq.map(lit): _*))
-      .drop("_lang")
-    val exact = TextOps.exactDedup(lang, "doc_id", "text")
+      .observe(obs,
+        count(lit(1)).as("n_input"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("quality_ok") &&
+          col("_lang").isin(cfg.langs.toSeq.map(lit): _*), 1L).otherwise(0L)).as("n_lang"))
+      .filter(col("quality_ok") &&
+        col("_lang").isin(cfg.langs.toSeq.map(lit): _*))
+      .select("doc_id", "text")
+    val exact = TextOps.exactDedup(observed, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exact.count() // job 1: fills the cache + the observation
 
     // near-dup clusters → survivor = min id of each connected pair set.
     // One LSH pass gives pairs (a < b); dropping every id that appears as
@@ -51,18 +74,32 @@ object CurationPipeline {
     // for cliques, and for general chains keeps minimal elements — the
     // standard LSH-dedup approximation (union-find exactness would need a
     // driver-side pass; chains beyond cliques are rare at high thresholds).
+    // All three uses of `exact` below (band self-join sides + shingle side
+    // + anti-join base) read the cache — the funnel never re-executes.
     val pairs = TextOps.nearDupPairs(exact, "doc_id", "text",
       cfg.jaccardThreshold, cfg.shingleK, cfg.bands, cfg.rowsPerBand,
       maxBucketSize = cfg.maxBucketSize)
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
     val kept = exact.join(losers, Seq("doc_id"), "left_anti")
+    val keptN = kept.count() // job 2: the LSH pass (its only execution)
 
+    val m = obs.get
     val report = Report(
-      input = input.count(),
-      afterQuality = quality.count(),
-      afterLang = lang.count(),
-      afterExact = exact.count(),
-      kept = kept.count())
+      input = m("n_input").asInstanceOf[Long],
+      afterQuality = m("n_quality").asInstanceOf[Long],
+      afterLang = m("n_lang").asInstanceOf[Long],
+      afterExact = afterExact,
+      kept = keptN)
+    lastFunnelCache = exact
     (kept, report)
+  }
+
+  /** The cached exact-dedup survivor set of the most recent [[curate]] —
+    * kept so the caller's action on the returned `kept` is cheap; release
+    * when done. */
+  @volatile private var lastFunnelCache: DataFrame = null
+  def unpersistFunnelCache(): Unit = {
+    val c = lastFunnelCache
+    if (c != null) { c.unpersist(false); lastFunnelCache = null }
   }
 }

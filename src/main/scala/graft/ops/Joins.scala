@@ -39,10 +39,17 @@ object Joins {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ord").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
+    // ONE struct built only on right-side rows carries ALL value columns
+    // together: the struct is non-null even when its members are null, so a
+    // genuinely-NULL latest right value propagates (per-column
+    // last(ignoreNulls) would skip it and resurrect an older row's value)
+    // and every output value comes from the SAME right row.
+    val carried = l.unionByName(r)
+      .withColumn("_vals", last(
+        when(col("_side") === 0, struct(valueCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried) { (df, c) => df.withColumn(c, col(s"_vals.$c")) }
+      .filter(col("_side") === 1)
       .select(keyCols.map(col) ++ Seq(col("_ord").as(leftOrd)) ++
         (leftPayload ++ valueCols).map(col): _*)
   }

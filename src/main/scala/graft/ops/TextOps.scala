@@ -125,7 +125,7 @@ object TextOps {
     * dropped (their members are exact-dup-shaped work — [[exactDedup]] is
     * the right operator for them); the anti-join side is tiny (only
     * oversized groups) and broadcasts. */
-  private def dropMegaBuckets(banded: DataFrame, groupCols: Seq[String],
+  private[ops] def dropMegaBuckets(banded: DataFrame, groupCols: Seq[String],
       cap: Int): DataFrame =
     if (cap <= 0) banded
     else {
@@ -160,7 +160,9 @@ object TextOps {
     * by the band shape: P(candidate at similarity s) = 1-(1-s^r)^b — e.g.
     * the default 16×8 catches s≥0.9 with P≈1 but s=0.7 only with P≈0.6;
     * callers needing (near-)exhaustive recall at a threshold t should pick
-    * r,b with 1-(1-t^r)^b ≈ 1 (e.g. 64 bands × 3 rows for t=0.7). */
+    * r,b with 1-(1-t^r)^b ≈ 1 (e.g. 64 bands × 3 rows for t=0.7) AND pass
+    * maxBucketSize=0 — the mega-bucket guard drops pairs inside oversized
+    * buckets (see [[dropMegaBuckets]]). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleK: Int = 5,
       bands: Int = 16, rowsPerBand: Int = 8, seed: Long = 42L,
@@ -182,14 +184,18 @@ object TextOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs with GUARANTEED recall: the 64-bit simhash is
-    * split into `maxDist + 1` disjoint chunks, so any two hashes within
-    * hamming distance maxDist must agree on at least one whole chunk
+  /** SimHash near-dup pairs with pigeonhole-guaranteed recall: the 64-bit
+    * simhash is split into `maxDist + 1` disjoint chunks, so any two hashes
+    * within hamming distance maxDist must agree on at least one whole chunk
     * (pigeonhole — maxDist differing bits cannot touch every one of
     * maxDist+1 chunks). Docs sharing any chunk are candidates; exact
-    * hamming distance verifies. The result is therefore EXACTLY the set of
-    * pairs with hamming(simhash) ≤ maxDist — no probabilistic misses.
-    * Chunks larger than `maxBucketSize` are skipped (mega-cluster guard). */
+    * hamming distance verifies. The result is EXACTLY the set of pairs with
+    * hamming(simhash) ≤ maxDist — PROVIDED no chunk bucket exceeds
+    * `maxBucketSize`: oversized buckets are dropped (mega-cluster guard;
+    * their members are exact-dup-shaped work for [[exactDedup]]), which
+    * loses the pairs inside them. Pass `maxBucketSize = 0` to disable the
+    * guard when the unconditional exactness contract matters more than
+    * blowup protection (the driver-oracled query path does). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 63]")

@@ -56,18 +56,97 @@ object VectorOps {
           .orderBy(col("cos").desc, col("vec_id").asc)).as("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via shared LSH bucket +
-    * exact cosine ≥ threshold verification — no O(n²) cross join. */
+  /** Driver-side cosine with the SAME sequential double accumulation as
+    * the distributed/codegen path (and the DuckDB oracle's left fold) —
+    * used for centroid probing decisions that both sides must agree on. */
+  private def cosineDD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The IVF coarse quantizer's centroids: the vectors of the `nlist`
+    * smallest ids — a deterministic data sample (ids are uncorrelated with
+    * geometry), the sample-trained quantizer of standard IVF practice.
+    * Tiny driver collect (nlist rows), broadcast into codegen as a
+    * reference object. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] =
+    df.orderBy(col(idCol).asc).select(col(vecCol)).limit(nlist).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** IVF (inverted-file) ANN top-k: every vector is assigned to its
+    * max-cosine coarse centroid cell; the query probes only the `nprobe`
+    * cells whose centroids are closest to it, then ranks candidates by
+    * exact cosine. The 100-TB shape of the index: assignment is one narrow
+    * codegen'd map (nlist dot products/row), the probe is a pushable
+    * `cell IN (...)` filter (partition-prunable when the table is laid out
+    * by cell), and ranking is TakeOrderedAndProject over ~nprobe/nlist of
+    * the data — no shuffle. Recall is data-dependent (high when the corpus
+    * is clusterable — the regime IVF is for; OpsSpec pins ≥0.9 on a
+    * clustered fixture with nprobe/nlist = 1/4). */
+  def cosineTopKIvf(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nlist)
+    // probe cells: nprobe nearest centroids to the query (driver-side,
+    // same arithmetic as the assignment expression → oracle-agreeable)
+    val probed = cents.zipWithIndex
+      .map { case (cv, c) => (c, cosineDD(query, cv)) }
+      .sortBy { case (c, cos) => (-cos, c) }
+      .take(math.min(nprobe, nlist)).map(_._1)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        nearest_centroid(col(vecCol), cents).as("cell"))
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .select(col("vec_id"), cosine_to_query(col("v"), query).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id").asc)).as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: multi-band sign-LSH candidates
+    * + exact cosine ≥ threshold verification — no O(n²) cross join.
+    *
+    * Recall engineering (mirrors TextOps' MinHash banding): per-bit
+    * agreement probability at cosine t is p = 1 - acos(t)/π, a band of r
+    * bits matches with p^r, and any of b bands firing makes the pair a
+    * candidate: P = 1 - (1 - p^r)^b. The default 32×10 gives miss ≈ 1.3e-6
+    * per true pair at t = 0.95 while unrelated pairs (cos ≈ 0 → p = 0.5)
+    * collide with P ≈ 3% — the single 8-bit band this replaces missed ~57%
+    * of true pairs at 0.95 (round-2 verdict). Candidates are verified with
+    * exact pairwise cosine, so false positives never survive; recall is the
+    * only engineered quantity.
+    *
+    * Buckets larger than `maxBucketSize` are dropped (mega-cluster guard,
+    * [[TextOps.dropMegaBuckets]]): a planted cluster of 10^5 identical
+    * embeddings is O(10^10) candidate pairs without it. Pass 0 to disable.
+    * Vectors do NOT ride through the band explode — candidates are distinct
+    * id pairs joined back to the vectors, so the exploded exchange carries
+    * (id, band, bucket) only. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 12, seed: Long = 42L): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sign_lsh_bucket(col(vecCol), bits, seed).as("bucket"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        // codegen'd static call — one invocation per candidate pair, no
-        // per-element HOF lambda frames on the verify path
-        cosine_pair(col("a.v"), col("b.v")).as("cos"))
+      threshold: Double = 0.95, bands: Int = 32, bitsPerBand: Int = 10,
+      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded0 = vecs
+      .select(col("id"), posexplode(sign_lsh_bands(col("v"), bands, bitsPerBand, seed)))
+      .toDF("id", "band", "bucket")
+    val banded = TextOps.dropMegaBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      // codegen'd static call — one invocation per candidate pair, no
+      // per-element HOF lambda frames on the verify path
+      .withColumn("cos", cosine_pair(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 }

@@ -33,6 +33,17 @@ import org.apache.spark.sql.types.IntegerType
  * hint. Register per session via [[GraftExtensions]]
  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
  * `spark.experimental.extraOptimizations`.
+ *
+ * SALT-TIE LIMITATION: the slice key is `hash(O) % S` — the only
+ * deterministic expression the rewrite can derive without knowing a unique
+ * column (the hand-built [[graft.ops.TopK.topKPerGroup]] takes an explicit
+ * `saltExpr` for exactly this reason). If a group's ORDER BY values are
+ * heavily tied (e.g. constant), all its rows hash to ONE slice and the
+ * plan DEGRADES to the naive single-window shape — still row-correct
+ * (pinned by TopKRewriteSpec's all-ties test), just not faster. Callers
+ * with tied orderings should add a high-cardinality tiebreaker to the
+ * ORDER BY (good practice anyway for deterministic results) or use
+ * TopK.topKPerGroup directly.
  */
 object TopKPerGroupRewrite extends Rule[LogicalPlan] {
 

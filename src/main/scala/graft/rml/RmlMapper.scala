@@ -92,11 +92,24 @@ object RmlMapper {
     RdfEngine.execute(compiled.rules, sources, baseIri, strict = strict)
   }
 
-  /** CLI-equivalent: write N-Triples/N-Quads text output. */
+  /** CLI-equivalent: write N-Triples/N-Quads text output.
+    *
+    * NOTE the deliberate `coalesce(1)`: this is CLI parity with the
+    * reference's single output file (flexcore.py `-o out.nt`), which makes
+    * the write a single-task serialization point — fine for mapping-tool
+    * outputs (MBs), wrong for bulk exports. Large-scale callers should use
+    * [[executeToDir]], which shards the write across tasks. */
   def executeToFile(spark: SparkSession, mappingTtl: String, outPath: String,
       baseIri: String = "http://example.com/base/"): Unit =
     RdfEngine.serialize(execute(spark, mappingTtl, baseIri = baseIri))
       .coalesce(1).write.mode("overwrite").text(outPath)
+
+  /** Sharded N-Triples/N-Quads output (one file per task) — the scalable
+    * form of [[executeToFile]] for big mappings. */
+  def executeToDir(spark: SparkSession, mappingTtl: String, outDir: String,
+      baseIri: String = "http://example.com/base/"): Unit =
+    RdfEngine.serialize(execute(spark, mappingTtl, baseIri = baseIri))
+      .write.mode("overwrite").text(outDir)
 
   def loadSource(spark: SparkSession, spec: RmlCompiler.SourceSpec): DataFrame = {
     val path = spec.path
@@ -128,6 +141,16 @@ object RmlMapper {
                 case _ =>
                   exploded.select(col("_row").cast("string").as("value")) // scalar match
               }
+            case IndexSeg(name, idx) =>
+              if (name.isEmpty)
+                throw RmlCompiler.RmlError(
+                  s"unsupported JSONPath (index on top-level array): $it")
+              // single element: `$.a[0]` — getItem, then widen objects
+              val item = df.select(col(name).getItem(idx).as("_row"))
+              item.schema.head.dataType match {
+                case _: org.apache.spark.sql.types.StructType => item.select("_row.*")
+                case _ => item.select(col("_row").cast("string").as("value"))
+              }
             case FieldSeg(name) => df.select(col(name + ".*"))
           }
         }
@@ -137,18 +160,39 @@ object RmlMapper {
   private sealed trait Seg
   private final case class FieldSeg(name: String) extends Seg
   private final case class ArraySeg(name: String) extends Seg
+  private final case class IndexSeg(name: String, idx: Int) extends Seg
 
-  /** Parse the `$.students[*]` / `$['students'][*]` subset — dot form plus
-    * bracket notation (single or double quotes), the shapes the reference
-    * accepts after its `$.`/bracket stripping (flexcore.py:261-264).
-    * Bracket segments are normalized to dot form first. */
+  /** Parse the `$.students[*]` / `$['students'][*]` / `$.students[0]`
+    * subset — dot form plus bracket notation (single or double quotes) plus
+    * numeric indices, the shapes the reference accepts after its
+    * `$.`/bracket stripping (flexcore.py:261-264; the reference delegates
+    * the full grammar to jsonpath_ng, backend.py:408-447). Unsupported
+    * jsonpath_ng forms — recursive descent `$..`, filters `[?...]`, slices
+    * `[a:b]`, bare-word wildcard `.*` — are REJECTED loudly instead of
+    * being misread as field names. Bracket segments are normalized to dot
+    * form first. */
   private def parseJsonPath(p: String): Seq[Seg] = {
+    import RmlCompiler.RmlError
+    if (p.contains(".."))
+      throw RmlError(s"unsupported JSONPath (recursive descent '..'): $p")
+    if (p.contains("[?"))
+      throw RmlError(s"unsupported JSONPath (filter expression): $p")
+    if ("""\[\s*[-0-9]*\s*:""".r.findFirstIn(p).isDefined)
+      throw RmlError(s"unsupported JSONPath (slice): $p")
     val normalized = p.replaceAll("""\[\s*['"]([^'"\]]+)['"]\s*\]""", ".$1")
     val trimmed = normalized.stripPrefix("$").stripPrefix(".")
+    val idxPat = """(.*)\[(\d+)\]$""".r
     if (trimmed.isEmpty) Nil
     else trimmed.split('.').toSeq.filter(_.nonEmpty).map { seg =>
-      if (seg.endsWith("[*]")) ArraySeg(seg.dropRight(3))
-      else FieldSeg(seg)
+      if (seg == "*") throw RmlError(s"unsupported JSONPath (wildcard member '*'): $p")
+      else if (seg.endsWith("[*]")) ArraySeg(seg.dropRight(3))
+      else seg match {
+        case idxPat(name, i) => IndexSeg(name, i.toInt)
+        case _ =>
+          if (seg.contains("[") || seg.contains("]"))
+            throw RmlError(s"unsupported JSONPath segment '$seg' in: $p")
+          FieldSeg(seg)
+      }
     }
   }
 }

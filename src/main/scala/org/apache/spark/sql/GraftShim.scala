@@ -19,4 +19,9 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Drain the listener bus (private[spark]) — lets tests assert on
+    * listener-observed facts (e.g. job counts) without sleeps. */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -145,6 +145,29 @@ class LakeSpec extends SparkSpec {
     assert(table.currentSnapshot.version == v)
   }
 
+  test("auto-expiry: the commit path itself bounds snapshot count (no manual maintenance)") {
+    val cfg = ChangeLogGen.Config(numEvents = 4000, numConversations = 30, maxTurns = 10)
+    val segments = ChangeLogGen.writeLog(spark, tmpDir("auto-gc-log"), cfg, numSegments = 2)
+    val table = new LakeTable(spark, tmpDir("auto-gc-table"), numBuckets = 2,
+      autoExpireEvery = 16, autoExpireKeep = 2)
+    table.create(Model.transcriptSchema)
+    // real data first, then a long tail of driver-only commits — the
+    // months-long-stream shape that used to accumulate one JSON per commit
+    CdcApply.replay(spark, table, segments, CdcApply.Options(mergeOnRead = true))
+    val before = stateOf(table)
+    val wm0 = table.currentSnapshot.appliedWatermark
+    ((wm0 + 1) to (wm0 + 200)).foreach { i =>
+      table.commitDelta(i, LakeTable.DeltaWrite(Map.empty, Nil, Nil))
+    }
+    def snaps() = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table.root, "snapshots")).iterator().asScala
+      .count(_.toString.endsWith(".json"))
+    // bounded by cadence + keep, NOT by the ~200 commits made
+    assert(snaps() <= 16 + 2, s"auto-expiry must bound snapshots, have ${snaps()}")
+    assert(stateOf(table) == before, "state unchanged by auto-maintenance")
+    assert(table.currentSnapshot.appliedWatermark == wm0 + 200)
+  }
+
   test("time travel: readAt(version) returns exact historical state") {
     val table = new LakeTable(spark, tmpDir("tt-table"), numBuckets = 2)
     table.create(Model.transcriptSchema)

@@ -100,9 +100,28 @@ class TextOpsSpec extends SparkSpec {
       (11L, "der hund und die katze und das pferd ist ein tier wirklich"), // non-en
       (12L, "a red panda sleeps in the tall tree and dreams of warm snow")) // clean keeper
     val input = docs.unionByName(extra.toDF("doc_id", "text"))
-    val (kept, report) = CurationPipeline.curate(input, "doc_id", "text",
-      CurationPipeline.Config(langs = Set("en"), jaccardThreshold = 0.6))
+    // cost contract: the funnel (report included) runs in ≤2 top-level
+    // ACTIONS (AQE fans each action into one job per materialized stage,
+    // so raw job count is not the right metric)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (kept, report) =
+      try {
+        val r = CurationPipeline.curate(input, "doc_id", "text",
+          CurationPipeline.Config(langs = Set("en"), jaccardThreshold = 0.6))
+        org.apache.spark.sql.GraftShim.waitListenerBusEmpty(spark)
+        r
+      } finally spark.listenerManager.unregister(listener)
+    assert(actions.get() <= 2, s"curate must run ≤2 actions, ran ${actions.get()}")
     val ids = kept.select("doc_id").as[Long].collect().toSet
+    CurationPipeline.unpersistFunnelCache()
     assert(report.input == 8 && report.kept == ids.size)
     assert(!ids.contains(10L), "quality gate (length)")
     assert(!ids.contains(4L), "quality gate (no stopword hits)")
@@ -178,13 +197,74 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.head == 0L, "query vector itself must be top result")
   }
 
+  test("IVF ANN: recall ≥ 0.9 vs exact top-k on clusterable data") {
+    // 8 tight clusters; ids round-robin the clusters, so the first-16
+    // sample quantizer covers every cluster — the regime IVF exists for
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val data = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.map(_.toDouble)
+    val exact = VectorOps.cosineTopK(df, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = VectorOps.cosineTopKIvf(df, "vec_id", "embedding", q, 20,
+        nlist = 16, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 on clustered fixture")
+  }
+
   test("embeddingNearDups finds planted duplicate vector") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 3).select(lit(9999L).as("vec_id"), $"embedding"))
     val pairs = VectorOps.embeddingNearDups(planted, "vec_id", "embedding",
-      threshold = 0.999, bits = 8)
+      threshold = 0.999)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 9999L)))
+  }
+
+  test("embeddingNearDups: threshold-edge recall — every planted near-dup pair found") {
+    // Plant copies at CONTROLLED cosine ≈ 0.955 — just above the 0.95
+    // threshold, the regime where round 2's single 8-bit band missed ~57%
+    // of true pairs: v' = c·v + s·|v|·û with û ⊥ v, so cos(v, v') = c
+    // exactly (up to float rounding).
+    val data = vecs.as[(Long, Array[Float])].collect()
+    val rnd = new scala.util.Random(7)
+    val c = 0.955
+    val sTheta = math.sqrt(1 - c * c)
+    val planted = data.map { case (id, v) =>
+      val w = Array.fill(v.length)(rnd.nextGaussian())
+      val nv2 = v.map(x => x.toDouble * x).sum
+      val dotWV = w.zip(v).map { case (a, b) => a * b.toDouble }.sum
+      val u0 = w.zip(v).map { case (wi, vi) => wi - dotWV / nv2 * vi }
+      val nu = math.sqrt(u0.map(x => x * x).sum)
+      val vp = v.zip(u0).map { case (vi, ui) =>
+        (c * vi + sTheta * math.sqrt(nv2) * (ui / nu)).toFloat }
+      (id + 10000L, vp)
+    }
+    val all = vecs.unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val got = VectorOps.embeddingNearDups(all, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact truth per planted pair, sequential double accumulation on the
+    // float-rounded arrays (same arithmetic as the engine's cosine_pair)
+    val byId = data.toMap
+    def cosSeq(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = planted.collect { case (pid, vp)
+        if cosSeq(byId(pid - 10000L), vp) >= 0.95 => (pid - 10000L, pid) }.toSet
+    assert(expected.size > 150, s"fixture degenerate: only ${expected.size} true pairs")
+    val missed = expected -- got
+    assert(missed.isEmpty, s"detector missed ${missed.size} threshold-edge pairs: ${missed.take(5)}")
   }
 }
 

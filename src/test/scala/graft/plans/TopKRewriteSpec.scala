@@ -46,6 +46,29 @@ class TopKRewriteSpec extends SparkSpec {
     assert(!planOff.contains("__graft_rn1"), "rule must be conf-gated off by default")
   }
 
+  test("all-ties ORDER BY: rewrite degrades to one effective slice but stays row-correct") {
+    // every row of a group carries the SAME order value → hash(O)%S is one
+    // slice per group; stage 1 = naive window + k-filter, stage 2 re-ranks
+    // the k survivors — correct output, no speedup (the documented
+    // degradation mode of the order-expr salt)
+    val df = (0 until 1000).map(i => (i % 3, i, 7L)).toDF("grp", "id", "tied")
+    def q = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("tied").desc)))
+      .filter(col("rn") <= 5)
+    val expectedCounts = withRule(enabled = false) {
+      q.groupBy("grp").count().as[(Int, Long)].collect().toMap
+    }
+    val (counts, plan) = withRule(enabled = true) {
+      (q.groupBy("grp").count().as[(Int, Long)].collect().toMap,
+        q.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains("__graft_rn1"), "rewrite still fires on tied orderings")
+    // among total ties any k rows are a valid top-k; row counts per group
+    // are the deterministic part of the contract
+    assert(counts == expectedCounts && counts.values.forall(_ == 5L),
+      s"all-ties group must still yield exactly k rows per group: $counts")
+  }
+
   test("rewrite is idempotent under the optimizer's fixed-point loop") {
     withRule(enabled = true) {
       val plan = naiveTopK.queryExecution.optimizedPlan.toString

@@ -249,6 +249,29 @@ class RmlCompilerSpec extends SparkSpec {
     }
   }
 
+  test("JSONPath numeric index [n] selects a single element") {
+    val dir = tmpDir("rml-json-idx")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"students": [{"id": "1", "name": "Alice"}, {"id": "2", "name": "Bob"}]}""")
+    import spark.implicits._
+    for (path <- Seq("$.students[0]", "$['students'][0]")) {
+      val out = RmlMapper.loadJson(spark, s"$dir/data.json", Some(path))
+      assert(out.select("id", "name").as[(String, String)].collect().toSeq ==
+        Seq(("1", "Alice")), s"path: $path")
+    }
+    val second = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.students[1]"))
+    assert(second.select("name").as[String].collect().toSeq == Seq("Bob"))
+  }
+
+  test("unsupported JSONPath forms are rejected loudly, not misparsed") {
+    val dir = tmpDir("rml-json-bad")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"a": [1, 2, 3]}""")
+    for (bad <- Seq("$..name", "$.a[?(@.x > 1)]", "$.a[0:2]", "$.*"))
+      assertThrows[RmlCompiler.RmlError](
+        RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
+  }
+
   test("library mode with raw CSV strings (flexcore.py:286-303)") {
     val mapping =
       """@prefix rml: <http://w3id.org/rml/> .
