@@ -101,11 +101,16 @@ object OracleSql {
     * params with ~certain recall at the threshold (64 bands × 3 rows:
     * miss probability ≈ 2e-12 per true pair) and then exact verification,
     * so the sets coincide. */
-  def neardupMinhash(threshold: Double, shingleK: Int = 5): String = {
+  def neardupMinhash(threshold: Double, shingleK: Int = 5): String =
+    jaccardPairs(perturbed(docsSrc), threshold, shingleK)
+
+  /** ALL (id_a, id_b, jaccard) pairs of `src` with exact char-shingle
+    * Jaccard ≥ threshold (inverted-index brute force). */
+  def jaccardPairs(src: String, threshold: Double, shingleK: Int = 5): String = {
     val shingles =
       s"SELECT doc_id, list_distinct([substring(text, i, LEAST($shingleK, GREATEST(1, length(text)))) " +
         s"FOR i IN range(1, GREATEST(0, length(text) - LEAST($shingleK, GREATEST(1, length(text)))) + 2)]) AS sh " +
-        s"FROM (${perturbed(docsSrc)}) WHERE text IS NOT NULL"
+        s"FROM ($src) WHERE text IS NOT NULL"
     val ss = s"SELECT doc_id, sh, len(sh) AS ns FROM ($shingles)"
     s"SELECT id_a, id_b, jaccard FROM (" +
       s" SELECT e1.doc_id AS id_a, e2.doc_id AS id_b," +

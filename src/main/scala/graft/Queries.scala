@@ -331,6 +331,20 @@ object Queries {
         nlist = 16, nprobe = 4)
     }),
 
+    // the COMPOSED curation funnel end-to-end (quality gate → language
+    // gate → exact dedup → LSH near-dedup keeping min id per clique) —
+    // oracled against a full DuckDB re-derivation with brute-force jaccard
+    // pairs; 64×5 banding + guard off makes the near-dup step equal the
+    // brute-force truth, so the whole pipeline is exactly checkable
+    "q_curation" -> ((s, d) => {
+      val (kept, _) = graft.ops.CurationPipeline.curate(
+        T(s, d, "documents"), "doc_id", "text",
+        graft.ops.CurationPipeline.Config(langs = Set("en"),
+          jaccardThreshold = 0.7, bands = 64, rowsPerBand = 5,
+          maxBucketSize = 0))
+      kept.select("doc_id")
+    }),
+
     // multimodal plumbing (stubbed decode, real schema/batching); the
     // integer checksum over the decoded feature vector gives the oracle a
     // content check, not just schema+rows
@@ -384,6 +398,13 @@ object Queries {
   private val frC = swCount(Seq("le", "la", "et", "est", "un", "une"))
   private val esC = swCount(Seq("el", "la", "y", "es", "un", "una"))
   private val allSw = swCount(TextOps.langStopwords.flatMap(_._2).distinct)
+
+  /** The langId argmax as DuckDB SQL (ties by list order, 'und' on zero). */
+  private val langCase =
+    s"CASE WHEN $enC = 0 AND $deC = 0 AND $frC = 0 AND $esC = 0 THEN 'und' " +
+      s"WHEN $enC >= $deC AND $enC >= $frC AND $enC >= $esC THEN 'en' " +
+      s"WHEN $deC >= $frC AND $deC >= $esC THEN 'de' " +
+      s"WHEN $frC >= $esC THEN 'fr' ELSE 'es' END"
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
@@ -517,10 +538,16 @@ object Queries {
         "FROM documents"),
 
     "q_doc_langid" ->
-      (s"SELECT doc_id, CASE WHEN $enC = 0 AND $deC = 0 AND $frC = 0 AND $esC = 0 THEN 'und' " +
-        s"WHEN $enC >= $deC AND $enC >= $frC AND $enC >= $esC THEN 'en' " +
-        s"WHEN $deC >= $frC AND $deC >= $esC THEN 'de' " +
-        s"WHEN $frC >= $esC THEN 'fr' ELSE 'es' END AS lang_guess FROM documents"),
+      s"SELECT doc_id, $langCase AS lang_guess FROM documents",
+
+    "q_curation" -> {
+      val quality = s"length(text) BETWEEN 20 AND 100000 AND " +
+        s"len($toks) BETWEEN 5 AND 20000 AND $allSw >= 1"
+      val gated = s"SELECT doc_id, text FROM documents WHERE $quality AND $langCase = 'en'"
+      val exact = s"SELECT min(doc_id) AS doc_id, text FROM ($gated) GROUP BY text"
+      val losers = s"SELECT DISTINCT id_b FROM (${OracleSql.jaccardPairs(exact, 0.7)})"
+      s"SELECT doc_id FROM ($exact) WHERE doc_id NOT IN ($losers)"
+    },
 
     "q_emb_topk" ->
       ("SELECT vec_id, CAST(rank AS INTEGER) AS rank FROM (SELECT vec_id, row_number() OVER (ORDER BY " +

@@ -52,7 +52,13 @@ object ScalingBench {
       case _ => graft.cdc.CdcApply.Options()
     }
     val buckets = args.drop(5).headOption.map(_.toInt).getOrElse(32)
-    val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    // GRAFT_WORK_DIR: reuse the (deterministic, parallelism-independent)
+    // generated log across campaign invocations instead of regenerating
+    val work = sys.env.get("GRAFT_WORK_DIR") match {
+      case Some(d) => java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(d)); d
+      case None => java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    }
 
     def loadAvg: String = try {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
@@ -85,7 +91,7 @@ object ScalingBench {
     }
     val (secN, epsN) = runs.filter(_._1 == n).map(_._2).minBy(_._1)
     val (sec4N, eps4N) = runs.filter(_._1 == n4).map(_._2).minBy(_._1)
-    Bench.deleteRec(work)
+    if (sys.env.get("GRAFT_WORK_DIR").isEmpty) Bench.deleteRec(work)
 
     val efficiency = (eps4N / epsN) / (n4.toDouble / n)
     println(f"""{"bench":"scaling","events":$numEvents,"reps":$reps,"local[$n]_events_per_sec":$epsN%.0f,"local[$n4]_events_per_sec":$eps4N%.0f,"local[$n]_sec":$secN%.2f,"local[$n4]_sec":$sec4N%.2f,"scaling_efficiency":$efficiency%.3f}""")
@@ -97,12 +103,16 @@ object ScalingBench {
 class StageTailListener(spark: SparkSession) extends org.apache.spark.scheduler.SparkListener {
   private val stages =
     new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[java.lang.Long]]()
+  private val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
   spark.sparkContext.addSparkListener(this)
 
   override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
     if (te.taskInfo != null && te.taskInfo.successful)
       stages.computeIfAbsent(te.stageId, _ => new java.util.Vector[java.lang.Long]())
         .add(te.taskInfo.duration)
+
+  override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+    names.put(ss.stageInfo.stageId, ss.stageInfo.name.takeWhile(_ != '\n').take(60))
 
   def report(cores: Int): Unit = {
     org.apache.spark.sql.GraftShim.waitListenerBusEmpty(spark)
@@ -114,10 +124,12 @@ class StageTailListener(spark: SparkSession) extends org.apache.spark.scheduler.
         (sid, ds.size, ds.max.toDouble / math.max(1.0, ds.sum.toDouble / ds.size)) }
     if (wide.nonEmpty) {
       val ratios = wide.map(_._3).sorted
-      val worst = wide.maxBy(_._3)
       System.err.println(f"[stage-tail] cores=$cores stages=${wide.size} " +
-        f"median_max_over_mean=${ratios(ratios.size / 2)}%.2f " +
-        f"worst=${worst._3}%.2f (stage ${worst._1}, ${worst._2} tasks)")
+        f"median_max_over_mean=${ratios(ratios.size / 2)}%.2f")
+      wide.sortBy(-_._3).take(3).foreach { case (sid, n, r) =>
+        System.err.println(f"[stage-tail]   worst: ratio=$r%.2f stage=$sid tasks=$n " +
+          s"name=${names.getOrDefault(sid, "?")}")
+      }
     }
     spark.sparkContext.removeSparkListener(this)
   }

@@ -520,14 +520,26 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       // measured. A bucket may now take up to the whole budget (a fully
       // hot bucket spreads across all cores); each slice still costs one
       // parquet file, and total files stay ≈ T + |affected|.
+      // One-wave budget. A/B-measured against T = 2×cores (finer slices,
+      // 2 waves): the finer plan LOST 30% throughput (1.07M → 748k ev/s at
+      // local[16], 16M MoR) — every extra slice is an extra parquet file
+      // whose footer-stat/commit/compaction cost exceeds the packing gain.
       val T = math.max(cores, nAffected)
       val totalW = math.max(1L,
         affected.toSeq.map(b => bucketWeights.getOrElse(b, 0L)).sum)
-      affected.map { b =>
-        val ideal = math.ceil(
-          bucketWeights.getOrElse(b, 0L).toDouble / totalW * T).toInt
-        b -> math.max(1, math.min(T, ideal))
-      }.toMap
+      // largest-remainder apportionment to EXACTLY ~T slices: a plain
+      // ceil() would give every bucket slightly above average 2 slices and
+      // every one below 1 — a structural 1.5× slice-weight imbalance
+      // (measured as the write-stage tail). Floor + distribute the
+      // leftover to the largest fractional remainders instead; equal
+      // weights degrade to exactly T equal slices.
+      val quotas = affected.toSeq.sorted.map(b =>
+        b -> (bucketWeights.getOrElse(b, 0L).toDouble / totalW * T))
+      val base = quotas.map { case (b, q) => b -> math.max(1, q.toInt) }.toMap
+      val leftover = math.max(0, T - base.values.sum)
+      val extra = quotas.sortBy { case (b, q) => (-(q - q.toInt), b) }
+        .take(leftover).map(_._1).toSet
+      base.map { case (b, n) => b -> (n + (if (extra.contains(b)) 1 else 0)) }
     } else affected.map(_ -> baseFactor).toMap
     val totalParts = math.max(1, saltOf.values.sum)
     val anySalt = saltOf.values.exists(_ > 1)

@@ -38,6 +38,22 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: NULL right values propagate; multi-column values stay row-consistent") {
+    // right row at rt=20 has v1=NULL — the as-of result at t>=20 must carry
+    // that NULL (not resurrect rt=5's 100.0), and v2 must come from the
+    // SAME right row as v1
+    val left = Seq((1L, 25L, "x"), (1L, 7L, "y")).toDF("k", "t", "pay")
+    val right = Seq(
+      (1L, 5L, Some(100.0), Some("a")),
+      (1L, 20L, None: Option[Double], Some("b"))).toDF("k", "rt", "v1", "v2")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v1", "v2"))
+      .select("k", "t", "v1", "v2").as[(Long, Long, Option[Double], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 25L, None, Some("b")),      // rt=20 row: v1 genuinely NULL, v2 "b"
+      (1L, 7L, Some(100.0), Some("a")))) // rt=5 row intact
+  }
+
   test("rangeJoin: binned equi-join equals brute-force predicate join") {
     val rnd = new scala.util.Random(5)
     val pts = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000)).toDF("pid", "v")
