@@ -6,10 +6,11 @@
 # across runs (deterministic, parallelism-independent), so only run 1 pays
 # generation.
 #
-# Usage: scripts/gated_scaling.sh [runs=5] [events=32000000]
+# Usage: scripts/gated_scaling.sh [runs=5] [events=32000000] [mode=pipe8]
 set -u
 RUNS=${1:-5}
 EVENTS=${2:-32000000}
+MODE=${3:-pipe8}
 OUT=target/scaling_runs.jsonl
 export GRAFT_WORK_DIR=${GRAFT_WORK_DIR:-/tmp/graft-scaling-work}
 mkdir -p target
@@ -21,8 +22,12 @@ for i in $(seq 1 "$RUNS"); do
     sleep 20
   done
   echo "[campaign] run $i starting, load=$(cat /proc/loadavg)"
-  sbt -batch "runMain graft.ScalingBench $EVENTS 3 4 16 pipe" \
-    2>"target/scaling_run_$i.err" | grep '"bench":"scaling"' >> "$OUT"
+  # sbt prints the forked JVM's stderr as [error]-tagged STDOUT lines, so
+  # keep the full stdout in the per-run log (per-rep data lives there) and
+  # extract the summary JSON from it
+  sbt -batch "runMain graft.ScalingBench $EVENTS 3 4 16 $MODE" \
+    >"target/scaling_run_$i.log" 2>&1
+  grep '"bench":"scaling"' "target/scaling_run_$i.log" >> "$OUT"
   tail -1 "$OUT"
 done
 echo "[campaign] done: $(wc -l < "$OUT") total runs in $OUT"

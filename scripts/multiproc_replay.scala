@@ -1,11 +1,13 @@
 // replay one shard (env SHARD_LOG) into a fresh table; print wall + rows
+// NOTE: spark-shell -I interprets LINE BY LINE — every statement must be a
+// single line or wrapped in braces, or a continuation silently becomes a
+// separate (failing) statement and the val binds to the wrong type.
 import graft.cdc.CdcApply
 import graft.lake.LakeTable
 import graft.model.Model
 import scala.jdk.CollectionConverters._
 val logDir = sys.env("SHARD_LOG")
-val segments = java.nio.file.Files.list(java.nio.file.Paths.get(logDir)).iterator().asScala
-  .map(_.toString).filter(_.contains("segment-")).toSeq.sorted
+val segments = { val st = java.nio.file.Files.list(java.nio.file.Paths.get(logDir)); try st.iterator().asScala.map(_.toString).filter(_.contains("segment-")).toSeq.sorted finally st.close() }
 val opts = CdcApply.Options(mergeOnRead = true, compactEvery = 100, pipelineDepth = 4)
 val warm = new LakeTable(spark, java.nio.file.Files.createTempDirectory("shard-w").toString, numBuckets = 8)
 warm.create(Model.transcriptSchema)
@@ -15,5 +17,7 @@ t2.create(Model.transcriptSchema)
 val t0 = System.nanoTime
 CdcApply.replay(spark, t2, segments, opts)
 val sec = (System.nanoTime - t0) / 1e9
-println(f"SHARD_RESULT dir=$logDir sec=$sec%.2f rows=${t2.readFull().count()}")
+val rows = t2.readFull().count()
+assert(rows > 0, s"shard replay produced no rows — check $logDir")
+println(f"SHARD_RESULT dir=$logDir sec=$sec%.2f rows=$rows")
 System.exit(0)

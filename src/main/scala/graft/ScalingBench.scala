@@ -46,6 +46,9 @@ object ScalingBench {
       // commits — the intended sustained-ingest mode (round-2 headline)
       case Some("pipe") => graft.cdc.CdcApply.Options(mergeOnRead = true,
         compactEvery = 16, pipelineDepth = 4)
+      // deeper pipeline: every batch's write job in flight at once
+      case Some("pipe8") => graft.cdc.CdcApply.Options(mergeOnRead = true,
+        compactEvery = 16, pipelineDepth = 8)
       // pipelined AND shuffle-free: zero exchanges in the hot path
       case Some("pipefree") => graft.cdc.CdcApply.Options(mergeOnRead = true,
         compactEvery = 16, pipelineDepth = 4, shuffleFreeAppend = true)

@@ -138,6 +138,11 @@ class TextOpsSpec extends SparkSpec {
     // — deterministic given fixed inputs; pin the behavior:
     assert(fp1 == TextHashes.rollingFingerprint("abcdefghijklmnopqrstuvwxyz 0123", 8))
     assert(TextHashes.rollingFingerprint("", 8) == 0L)
+    // empty strings hash as the single empty shingle instead of throwing
+    // (reachable via perturbed-copy substring on short docs)
+    assert(TextHashes.minHashBands("", 5, 4, 2, 42L).numElements() == 4)
+    assert(TextHashes.minHashSig("", 5, 8, 42L).numElements() == 8)
+    assert(TextHashes.shingleHashes("", 5, 42L).numElements() == 1)
     val colVals = docs.select(rolling_fingerprint($"text", 16).as("fp"))
       .as[Long].collect()
     assert(colVals(0) == colVals(4), "exact dup docs share fingerprint")
