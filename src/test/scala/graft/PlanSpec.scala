@@ -112,6 +112,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join operator:\n$plan")
   }
 
+  test("embeddingNearDups plan: banded hash join, never a nested loop; bands codegen'd") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // parquet round trip: a LocalRelation would let Catalyst fold the
+    // expressions away and hide the distributed plan under test
+    val dir = tmpDir("plan-neardup")
+    (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val out = graft.ops.VectorOps.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.9)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate generation must be a banded equi-join:\n$plan")
+    assert(plan.contains("sign_lsh_bands"), s"native band expression missing:\n$plan")
+    assert(plan.contains("*("), s"no whole-stage-codegen spans (* markers) at all:\n$plan")
+  }
+
+  test("IVF probe plan: cell filter prunes before ranking, no shuffle for top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(10)
+    val dir = tmpDir("plan-ivf")
+    (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val q = vecs.orderBy("vec_id").head().getSeq[Float](1).map(_.toDouble).toArray
+    val out = graft.ops.VectorOps.cosineTopKIvf(vecs, "vec_id", "embedding", q, 5,
+      nlist = 8, nprobe = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_centroid"), s"assignment expr missing:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject (per-partition heaps), not a global sort:\n$plan")
+  }
+
   test("rdf engine per-scan dedup happens before the join (plan shape)") {
     import spark.implicits._
     val child = Seq(("a", "k1"), ("b", "k2")).toDF("v", "k")
