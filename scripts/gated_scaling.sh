@@ -8,6 +8,7 @@
 #
 # Usage: scripts/gated_scaling.sh [runs=5] [events=32000000] [mode=pipe8]
 set -u
+cd "$(dirname "$0")/.."
 RUNS=${1:-5}
 EVENTS=${2:-32000000}
 MODE=${3:-pipe8}

@@ -15,6 +15,6 @@ for i in $(seq 1 "$RUNS"); do
     sleep 30
   done
   echo "[mp-campaign] run $i starting, load=$(cat /proc/loadavg)" >> target/multiproc_runs.log
-  bash scripts/multiproc_scaling.sh 2>&1 | grep -ao "SHARD_RESULT[^[]*\|== [a-z-]*:.*" >> target/multiproc_runs.log
+  bash scripts/multiproc_scaling.sh 2>&1 | grep -ao "SHARD_RESULT[^[]*\|SHARD_FAILED[^[]*\|== [a-z-]*:.*" >> target/multiproc_runs.log
 done
 echo "[mp-campaign] done" >> target/multiproc_runs.log

@@ -18,6 +18,8 @@ val t0 = System.nanoTime
 CdcApply.replay(spark, t2, segments, opts)
 val sec = (System.nanoTime - t0) / 1e9
 val rows = t2.readFull().count()
-assert(rows > 0, s"shard replay produced no rows — check $logDir")
-println(f"SHARD_RESULT dir=$logDir sec=$sec%.2f rows=$rows")
-System.exit(0)
+// a thrown assert would NOT abort a -I run (the REPL continues past
+// exceptions) — gate the result line itself so a failed replay can never
+// be grepped as a measurement
+if (rows > 0) println(f"SHARD_RESULT dir=$logDir sec=$sec%.2f rows=$rows") else println(s"SHARD_FAILED dir=$logDir rows=0")
+System.exit(if (rows > 0) 0 else 1)

@@ -292,10 +292,12 @@ object Queries {
     // so the brute-force oracle genuinely exercises detector recall on
     // non-identical vectors. 32×10 banding: miss ≈ 1.5e-7 per true pair at
     // cos 0.96 (VectorOps.embeddingNearDups docstring).
+    // maxBucketSize=0: guard off on the oracled path (the brute-force
+    // oracle is unconditional), same contract as the doc near-dup queries
     "q_emb_neardup" -> ((s, d) => {
       val emb = T(s, d, "embeddings").select("vec_id", "embedding")
       VectorOps.embeddingNearDups(withPerturbedEmbeddings(emb), "vec_id", "embedding",
-          threshold = 0.95)
+          threshold = 0.95, maxBucketSize = 0)
         .select("id_a", "id_b")
     }),
 

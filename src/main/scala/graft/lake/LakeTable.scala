@@ -210,7 +210,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
 
   /** Time travel: the public view AS OF a snapshot version (every commit
     * bumps the version; snapshots are immutable until [[expireSnapshots]]).
-    * Reads go through the per-snapshot file list, so history is exact. */
+    * Reads go through the per-snapshot file list, so history is exact.
+    * NOTE: auto-maintenance (`autoExpireEvery`, default on — the Iceberg
+    * lifecycle norm) prunes history beyond the last `autoExpireKeep`
+    * snapshots; construct the table with `autoExpireEvery = 0` if
+    * unbounded time travel matters more than bounded metadata. */
   def readAt(version: Long): DataFrame = {
     val s = snapshotAt(version)
     val publicCols = s.schema.fields.map(_.name).filterNot(metaColNames.contains)
@@ -437,6 +441,14 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       dropTombstonesBelowLsn = dropTombstonesBelowLsn)
     commitLock.synchronized {
       val s2 = currentSnapshot
+      // same guard as merge(): a concurrent BASE rewrite of an affected
+      // bucket cannot be reconciled — our rewrite was computed from the
+      // old base and would silently drop the concurrent commit's rows
+      val baseChanged = affected.exists(b =>
+        s2.files.getOrElse(b, Nil) != s.files.getOrElse(b, Nil))
+      if (baseChanged)
+        throw new java.util.ConcurrentModificationException(
+          s"base files of affected buckets rewritten since compact read snapshot v${s.version}")
       // deltas committed after our read are NOT folded — leave them be
       val foldedDeltas = s2.deltas.map { case (b, fs) =>
         b -> (if (affected.contains(b)) fs.diff(s.deltas.getOrElse(b, Nil)) else fs)
@@ -537,7 +549,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         b -> (bucketWeights.getOrElse(b, 0L).toDouble / totalW * T))
       val base = quotas.map { case (b, q) => b -> math.max(1, q.toInt) }.toMap
       val leftover = math.max(0, T - base.values.sum)
-      val extra = quotas.sortBy { case (b, q) => (-(q - q.toInt), b) }
+      // remainder vs what was ALLOCATED (not vs floor(q)): a sub-1-quota
+      // bucket already floored UP to 1 slice has negative remainder and
+      // must not outcompete heavy buckets for the leftovers
+      val extra = quotas.sortBy { case (b, q) => (-(q - base(b)), b) }
         .take(leftover).map(_._1).toSet
       base.map { case (b, n) => b -> (n + (if (extra.contains(b)) 1 else 0)) }
     } else affected.map(_ -> baseFactor).toMap

@@ -90,6 +90,9 @@ object CurationPipeline {
       afterLang = m("n_lang").asInstanceOf[Long],
       afterExact = afterExact,
       kept = keptN)
+    // release the PREVIOUS call's cache before taking over the slot —
+    // repeated curate() calls must not pin one survivor set per corpus
+    unpersistFunnelCache()
     lastFunnelCache = exact
     (kept, report)
   }

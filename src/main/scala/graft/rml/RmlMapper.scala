@@ -145,8 +145,13 @@ object RmlMapper {
               if (name.isEmpty)
                 throw RmlCompiler.RmlError(
                   s"unsupported JSONPath (index on top-level array): $it")
-              // single element: `$.a[0]` — getItem, then widen objects
-              val item = df.select(col(name).getItem(idx).as("_row"))
+              // single element: `$.a[0]` — then widen objects. `get()`
+              // (not getItem: ANSI mode throws on out-of-bounds) yields
+              // NULL for an out-of-range index, which is then dropped:
+              // NO MATCH = zero rows (jsonpath_ng semantics), not a
+              // phantom all-NULL record.
+              val item = df.select(get(col(name), lit(idx)).as("_row"))
+                .filter(col("_row").isNotNull)
               item.schema.head.dataType match {
                 case _: org.apache.spark.sql.types.StructType => item.select("_row.*")
                 case _ => item.select(col("_row").cast("string").as("value"))
@@ -181,7 +186,10 @@ object RmlMapper {
       throw RmlError(s"unsupported JSONPath (slice): $p")
     val normalized = p.replaceAll("""\[\s*['"]([^'"\]]+)['"]\s*\]""", ".$1")
     val trimmed = normalized.stripPrefix("$").stripPrefix(".")
-    val idxPat = """(.*)\[(\d+)\]$""".r
+    // name group must be bracket-free: a compound segment like `a[*][0]`
+    // or `a[0][1]` must fall through to the loud-rejection branch, not be
+    // misread as a column named "a[*]"
+    val idxPat = """([^\[\]]*)\[(\d+)\]$""".r
     if (trimmed.isEmpty) Nil
     else trimmed.split('.').toSeq.filter(_.nonEmpty).map { seg =>
       if (seg == "*") throw RmlError(s"unsupported JSONPath (wildcard member '*'): $p")

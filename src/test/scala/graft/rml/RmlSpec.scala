@@ -261,13 +261,18 @@ class RmlCompilerSpec extends SparkSpec {
     }
     val second = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.students[1]"))
     assert(second.select("name").as[String].collect().toSeq == Seq("Bob"))
+    // out-of-range index = NO match (jsonpath_ng semantics), not a
+    // phantom all-NULL row
+    val oob = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.students[5]"))
+    assert(oob.count() == 0)
   }
 
   test("unsupported JSONPath forms are rejected loudly, not misparsed") {
     val dir = tmpDir("rml-json-bad")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
       """{"a": [1, 2, 3]}""")
-    for (bad <- Seq("$..name", "$.a[?(@.x > 1)]", "$.a[0:2]", "$.*"))
+    for (bad <- Seq("$..name", "$.a[?(@.x > 1)]", "$.a[0:2]", "$.*",
+        "$.a[*][0]", "$.a[0][1]"))
       assertThrows[RmlCompiler.RmlError](
         RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
   }
