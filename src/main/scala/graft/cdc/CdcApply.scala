@@ -51,6 +51,10 @@ object CdcApply {
       mergeOnRead: Boolean = false,
       /** compact when any bucket accumulates this many delta files. */
       compactEvery: Int = 8,
+      /** run triggered compaction on the table's maintenance thread so it
+        * never stalls the ordered-commit loop (the streaming/pipelined
+        * default); false = inline, deterministic (tests). */
+      backgroundCompact: Boolean = true,
       /** merge-on-read replay only: number of micro-batches whose WRITE
         * jobs may run concurrently (commits stay strictly ordered). >1
         * overlaps the driver's per-batch serial work (planning, snapshot
@@ -165,7 +169,7 @@ object CdcApply {
   }
 
   /** Append invalid rows to the batch-scoped dead-letter partition. */
-  private def writeDeadLetters(events: DataFrame, batchId: Long, dir: String): Unit = {
+  private[cdc] def writeDeadLetters(events: DataFrame, batchId: Long, dir: String): Unit = {
     val dl = deadLetters(events)
       .withColumn("_reject_reason",
         when(!col("op").isin("I", "U", "D"), "bad_op")
@@ -202,8 +206,7 @@ object CdcApply {
           saltPartitions = opts.mergeSaltPartitions,
           bucketWeights = table.currentSnapshot.bucketWeights,
           shuffleFree = opts.shuffleFreeAppend)
-        if (statsOpt.isDefined && table.maxDeltaFiles >= opts.compactEvery)
-          table.compact(saltPartitions = opts.mergeSaltPartitions)
+        if (statsOpt.isDefined) maybeCompact(table, opts)
         val durMs = (System.nanoTime() - t0) / 1000000
         statsOpt.fold(0L) { stats =>
           table.bufferLineage(batchId, stats, durMs)
@@ -264,6 +267,7 @@ object CdcApply {
       segments.zipWithIndex.foreach { case (seg, i) =>
         applyBatch(table, spark.read.parquet(seg), i.toLong, opts)
       }
+      table.awaitMaintenance()
       table.flushLineage()
     }
   }
@@ -310,15 +314,24 @@ object CdcApply {
           case Some((w, durMs)) =>
             if (table.commitDelta(i.toLong, w)) {
               table.bufferLineage(i.toLong, w.stats, durMs)
-              if (table.maxDeltaFiles >= opts.compactEvery)
-                table.compact(saltPartitions = opts.mergeSaltPartitions)
+              maybeCompact(table, opts)
             }
           case None => ()
         }
       }
     } finally {
       pool.shutdown()
+      table.awaitMaintenance() // include compaction debt in the replay
       table.flushLineage()
     }
   }
+
+  /** Compaction trigger shared by the apply paths: background by default
+    * (never stalls ordered commits), inline when the caller wants
+    * deterministic timing. */
+  private[cdc] def maybeCompact(table: LakeTable, opts: Options): Unit =
+    if (opts.backgroundCompact)
+      table.maybeCompactAsync(opts.compactEvery, opts.mergeSaltPartitions)
+    else if (table.maxDeltaFiles >= opts.compactEvery)
+      table.compact(saltPartitions = opts.mergeSaltPartitions)
 }

@@ -24,4 +24,30 @@ object GraftShim {
     * listener-observed facts (e.g. job counts) without sleeps. */
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The file-stream source's durable per-batch file manifest
+    * (`<checkpoint>/sources/0`), written by the source BEFORE a batch's
+    * foreachBatch runs — the recovery journal of the pipelined streaming
+    * apply. `private[sql]` in Spark, hence this in-package bridge. */
+  def sourceBatchFiles(spark: SparkSession, checkpointRoot: String,
+      batchId: Long): Seq[String] = {
+    import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
+    val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION, spark,
+      s"$checkpointRoot/sources/0")
+    // compact log files carry the full history; keep THIS batch's entries
+    log.get(batchId).map(_.filter(_.batchId == batchId).map(_.path).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** All batches the file-stream source has planned, from `fromBatchId` on:
+    * (batchId, files) in batch order. */
+  def sourceLogBatches(spark: SparkSession, checkpointRoot: String,
+      fromBatchId: Long): Seq[(Long, Seq[String])] = {
+    import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
+    val dir = s"$checkpointRoot/sources/0"
+    val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION, spark, dir)
+    log.get(Some(fromBatchId), None).toSeq.map { case (id, entries) =>
+      id -> entries.filter(_.batchId == id).map(_.path).toSeq
+    }.sortBy(_._1)
+  }
 }

@@ -72,6 +72,75 @@ class StreamSpec extends SparkSpec {
     assert(applied.size == applied.toSeq.distinct.size)
   }
 
+  test("pipelined streaming apply equals batch oracle; async path engaged; nothing left pending") {
+    val cfg = ChangeLogGen.Config(numEvents = 16000, numConversations = 80, maxTurns = 16)
+    val logDir = tmpDir("pstream-log")
+    val ckDir = tmpDir("pstream-ck")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 6)
+
+    val table = new LakeTable(spark, tmpDir("pstream-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    val opts = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4, compactEvery = 4)
+    val (q, pipeline) = CdcStream.startPipelined(spark, logDir, table, ckDir,
+      maxFilesPerTrigger = 4, opts)
+    q.awaitTermination()
+    pipeline.close()
+    assert(pipeline.pipelinedCount > 0,
+      "async journal+write path must engage (inputFiles visible in foreachBatch)")
+
+    val events = ChangeLogGen.events(spark, cfg).collect().toSeq.map { r =>
+      Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
+    }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    assert(finalStateOf(table) == expect, "pipelined streaming final state")
+
+    // every source-log batch is committed — a recovery pass finds nothing
+    assert(CdcPipeline.recoverPending(spark, table, ckDir, opts) == 0,
+      "clean shutdown leaves no uncommitted source-log batches")
+
+    // restart over the same checkpoint: no new data → no state change
+    val v1 = table.currentSnapshot.version
+    CdcStream.runOnce(spark, logDir, table, ckDir, maxFilesPerTrigger = 4, opts)
+    assert(finalStateOf(table) == expect)
+    assert(table.currentSnapshot.version == v1, "restart with no new data must not commit")
+  }
+
+  test("pipelined streaming: abort mid-stream (simulated crash) + restart is exactly-once") {
+    val cfg = ChangeLogGen.Config(numEvents = 16000, numConversations = 80, maxTurns = 16)
+    val logDir = tmpDir("pkill-log")
+    val ckDir = tmpDir("pkill-ck")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 8)
+
+    val table = new LakeTable(spark, tmpDir("pkill-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    val opts = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4, compactEvery = 4)
+
+    // phase 1: stop after at least one micro-batch, then ABORT the pipeline
+    // (no drain): batches whose foreachBatch returned but whose commit never
+    // ran leave journal entries behind — the crash window SS alone can't
+    // cover with an async sink
+    val (q1, p1) = CdcStream.startPipelined(spark, logDir, table, ckDir,
+      maxFilesPerTrigger = 2, opts)
+    var waited = 0
+    while (q1.recentProgress.length < 2 && waited < 600) { Thread.sleep(100); waited += 1 }
+    q1.stop(); q1.awaitTermination()
+    p1.abort()
+
+    // phase 2: restart — recoverPending applies journaled-but-uncommitted
+    // batches, then the stream resumes from the checkpoint
+    CdcStream.runOnce(spark, logDir, table, ckDir, maxFilesPerTrigger = 2, opts)
+
+    val events = ChangeLogGen.events(spark, cfg).collect().toSeq.map { r =>
+      Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
+    }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    assert(finalStateOf(table) == expect, "state after abort + restart")
+    val applied = table.currentSnapshot.appliedBatchIds
+    assert(applied.size == applied.toSeq.distinct.size, "no double apply")
+  }
+
   test("windowed ingest metrics: watermarked event-time aggregation") {
     val cfg = ChangeLogGen.Config(numEvents = 5000, numConversations = 50, maxTurns = 16)
     val logDir = tmpDir("metrics-log")

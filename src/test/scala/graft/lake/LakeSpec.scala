@@ -145,6 +145,48 @@ class LakeSpec extends SparkSpec {
     assert(table.currentSnapshot.version == v)
   }
 
+  test("orphan GC never deletes in-flight pipelined writes, even past the mtime grace") {
+    import spark.implicits._
+    val table = new LakeTable(spark, tmpDir("pending-table"), numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    def batch(lsn: Long) = Seq((lsn, "I", s"c$lsn", 0, "user", s"t$lsn"))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, batch(1L), 0L)
+    // stage a delta write WITHOUT committing — the pipelined in-flight state
+    val w = table.writeDeltaFiles(CdcApply.prepareBatch(batch(2L)), Model.keyCols)
+    assert(w.files.values.flatten.nonEmpty)
+    // age the staged files far past any grace window (simulates a
+    // write-to-commit gap longer than graceMs — the silent-loss hazard)
+    w.files.values.flatten.foreach { f =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(table.root, f),
+        java.nio.file.attribute.FileTime.fromMillis(0L))
+    }
+    table.expireSnapshots(keep = 1, graceMs = 0)
+    w.files.values.flatten.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(table.root, f)),
+        s"in-flight delta file $f must survive orphan GC")
+    }
+    // the commit still lands and the data is intact
+    assert(table.commitDelta(1L, w))
+    assert(table.read().count() == 2)
+    // once ABANDONED instead, the files become GC-eligible again
+    val w2 = table.writeDeltaFiles(CdcApply.prepareBatch(batch(3L)), Model.keyCols)
+    w2.files.values.flatten.foreach { f =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(table.root, f),
+        java.nio.file.attribute.FileTime.fromMillis(0L))
+    }
+    table.abandonDelta(w2)
+    table.expireSnapshots(keep = 1, graceMs = 0)
+    w2.files.values.flatten.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table.root, f)),
+        s"abandoned delta file $f must be GC'd")
+    }
+    assert(table.read().count() == 2)
+  }
+
   test("auto-expiry: the commit path itself bounds snapshot count (no manual maintenance)") {
     val cfg = ChangeLogGen.Config(numEvents = 4000, numConversations = 30, maxTurns = 10)
     val segments = ChangeLogGen.writeLog(spark, tmpDir("auto-gc-log"), cfg, numSegments = 2)
