@@ -28,7 +28,13 @@ for i in $(seq 1 "$RUNS"); do
   # extract the summary JSON from it
   sbt -batch "runMain graft.ScalingBench $EVENTS 3 4 16 $MODE" \
     >"target/scaling_run_$i.log" 2>&1
-  grep '"bench":"scaling"' "target/scaling_run_$i.log" >> "$OUT"
-  tail -1 "$OUT"
+  # a crashed run appends nothing — fail LOUDLY instead of letting tail -1
+  # re-print the previous run's JSON as if it were this run's result
+  if grep '"bench":"scaling"' "target/scaling_run_$i.log" >> "$OUT"; then
+    tail -1 "$OUT"
+  else
+    echo "[campaign] RUN_FAILED: run $i produced no result line (see target/scaling_run_$i.log)" >&2
+    exit 1
+  fi
 done
 echo "[campaign] done: $(wc -l < "$OUT") total runs in $OUT"

@@ -20,8 +20,9 @@ object Bench {
     val cfg = ChangeLogGen.Config(numEvents = numEvents,
       numConversations = math.max(64L, numEvents / 500), maxTurns = 64)
     if (java.nio.file.Files.exists(marker)) {
-      java.nio.file.Files.list(java.nio.file.Paths.get(logDir)).toArray
-        .map(_.toString).filter(_.contains("segment-")).sorted.toSeq
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(logDir))
+      try st.toArray.map(_.toString).filter(_.contains("segment-")).sorted.toSeq
+      finally st.close() // close-safe listing, same discipline as LakeTable
     } else {
       val segs = ChangeLogGen.writeLog(spark, logDir, cfg, numSegments)
       java.nio.file.Files.writeString(marker, "ok")
@@ -42,6 +43,23 @@ object Bench {
     (sec, numEvents / sec)
   }
 
+  /** One full STREAMING replay (Structured Streaming, pipelined sink when
+    * opts ask) into a fresh table + fresh checkpoint; returns
+    * (sec, events/sec). `logRoot` is the directory holding segment-* dirs
+    * (the file source reads it recursively). */
+  def streamReplayOnce(spark: SparkSession, logRoot: String, numEvents: Long,
+      buckets: Int, opts: CdcApply.Options, maxFilesPerTrigger: Int = 32): (Double, Double) = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-bench-stbl").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-bench-sck").toString
+    val table = new LakeTable(spark, tableDir, numBuckets = buckets)
+    table.create(Model.transcriptSchema)
+    val t0 = System.nanoTime()
+    graft.cdc.CdcStream.runOnce(spark, logRoot, table, ckDir, maxFilesPerTrigger, opts)
+    val sec = (System.nanoTime() - t0) / 1e9
+    deleteRec(tableDir); deleteRec(ckDir)
+    (sec, numEvents / sec)
+  }
+
   def cdcReplay(spark: SparkSession, numEvents: Long, numSegments: Int,
       buckets: Int): (Double, Double) = {
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
@@ -57,6 +75,14 @@ object Bench {
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
         .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => }
+
+  /** 1-minute loadavg — identifies noisy-host runs (this shared box shows
+    * documented 1.4–4× co-tenant swings; round-3's bench "regression" was
+    * adjudicated as exactly this, so runs now self-report load). */
+  private def loadAvg: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,9 +102,13 @@ object Bench {
     // JVM/codegen warm-up so the first measured query doesn't pay it
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
 
+    val loadBefore = loadAvg
+    val runStartMs = System.currentTimeMillis()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val started = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      started(name) = System.currentTimeMillis() - runStartMs
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast run: record -1 and
       // surface the error in the output JSON
@@ -103,13 +133,23 @@ object Bench {
     val (pipeSec, epsPipe) = replayOnce(spark, segments, 2000000L, buckets = 32,
       CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
     results("cdc_replay_2m_mor_pipelined") = pipeSec
+    // STREAMING-path pipelined apply: Structured Streaming + CdcPipeline
+    // over the same log (one segment ≈ one micro-batch via
+    // maxFilesPerTrigger) — the north-star deployment mode; target is
+    // within ~10% of the batch pipelined run above
+    val (streamSec, epsStream) = streamReplayOnce(spark, s"$work/log-2000000-4",
+      2000000L, buckets = 32,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
+    results("cdc_replay_2m_stream_pipelined") = streamSec
     deleteRec(work)
 
+    val loadAfter = loadAvg
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val starts = started.map { case (k, v) => "\"" + k + s"""":${v / 1000.0}""" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}""")
     spark.stop()
   }
 }

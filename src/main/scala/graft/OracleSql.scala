@@ -203,11 +203,15 @@ object OracleSql {
     * left folds (bit-identical to the engine's sequential double
     * accumulation), so assignment and ranking agree exactly. */
   def annIvf(nlist: Int = 16, nprobe: Int = 4, k: Int = 10): String = {
-    def fold(lenOf: String, body: String) =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($lenOf) + 1), i -> $body)), (x, y) -> x + y)"
+    def fold(lenExpr: String, body: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, $lenExpr + 1), i -> $body)), (x, y) -> x + y)"
     def cosOf(a: String, b: String) = {
-      val na = fold(a, s"$a[i] * $a[i]"); val nb = fold(a, s"$b[i] * $b[i]")
-      val dot = fold(a, s"$a[i] * $b[i]")
+      // ALL THREE accumulators run to min(len(a), len(b)) — exactly
+      // VectorMath.cosineToQuery/cosinePair's loop bound, so the oracle is
+      // dimension-safe (not coincidentally equal on same-dim fixtures)
+      val n = s"least(len($a), len($b))"
+      val na = fold(n, s"$a[i] * $a[i]"); val nb = fold(n, s"$b[i] * $b[i]")
+      val dot = fold(n, s"$a[i] * $b[i]")
       s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END"
     }
     val cents = s"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, " +

@@ -339,12 +339,12 @@ object Queries {
     // pairs; 64×5 banding + guard off makes the near-dup step equal the
     // brute-force truth, so the whole pipeline is exactly checkable
     "q_curation" -> ((s, d) => {
-      val (kept, _) = graft.ops.CurationPipeline.curate(
+      graft.ops.CurationPipeline.curate(
         T(s, d, "documents"), "doc_id", "text",
         graft.ops.CurationPipeline.Config(langs = Set("en"),
           jaccardThreshold = 0.7, bands = 64, rowsPerBand = 5,
           maxBucketSize = 0))
-      kept.select("doc_id")
+        .kept.select("doc_id")
     }),
 
     // multimodal plumbing (stubbed decode, real schema/batching); the

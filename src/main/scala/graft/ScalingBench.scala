@@ -52,8 +52,13 @@ object ScalingBench {
       // pipelined AND shuffle-free: zero exchanges in the hot path
       case Some("pipefree") => graft.cdc.CdcApply.Options(mergeOnRead = true,
         compactEvery = 16, pipelineDepth = 4, shuffleFreeAppend = true)
+      // STREAMING-path pipelined apply (Structured Streaming + CdcPipeline)
+      // — the north-star deployment; target: within ~10% of pipe8
+      case Some("spipe8") => graft.cdc.CdcApply.Options(mergeOnRead = true,
+        compactEvery = 16, pipelineDepth = 8)
       case _ => graft.cdc.CdcApply.Options()
     }
+    val streaming = args.drop(4).headOption.exists(_.startsWith("spipe"))
     val buckets = args.drop(5).headOption.map(_.toInt).getOrElse(32)
     // GRAFT_WORK_DIR: reuse the (deterministic, parallelism-independent)
     // generated log across campaign invocations instead of regenerating
@@ -70,13 +75,17 @@ object ScalingBench {
     def once(cores: Int, warm: Boolean): (Double, Double) = {
       val s = session(cores)
       val segments = Bench.genLog(s, work, numEvents, 8)
-      if (warm) Bench.replayOnce(s, segments, numEvents, buckets, opts)
+      val logRoot = s"$work/log-$numEvents-8"
+      def run(): (Double, Double) =
+        if (streaming) Bench.streamReplayOnce(s, logRoot, numEvents, buckets, opts)
+        else Bench.replayOnce(s, segments, numEvents, buckets, opts)
+      if (warm) run()
       // straggler instrumentation (GRAFT_STAGE_STATS=1): per-stage task
       // max/mean over the measured replay — the write-stage tail is the
       // in-JVM scaling limiter round 2 identified; target max/mean ≤ 2
       val tail = if (sys.env.get("GRAFT_STAGE_STATS").contains("1"))
         Some(new StageTailListener(s)) else None
-      val r = Bench.replayOnce(s, segments, numEvents, buckets, opts)
+      val r = run()
       tail.foreach(_.report(cores))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

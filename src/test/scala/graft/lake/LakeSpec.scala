@@ -145,6 +145,55 @@ class LakeSpec extends SparkSpec {
     assert(table.currentSnapshot.version == v)
   }
 
+  test("key-range data skipping: a point read touches only its bucket's range-matching files") {
+    import spark.implicits._
+    val table = new LakeTable(spark, tmpDir("skip-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    // 4 MoR batches with DISJOINT conv-id ranges → inside any bucket, the
+    // delta files of the other batches are range-skippable
+    def mkBatch(i: Int) = (0 until 40).map { j =>
+      ((i * 1000 + j).toLong, "I", f"batch$i-conv-$j%03d", 0, "user", s"text-$i-$j")
+    }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    (0 until 4).foreach { i =>
+      CdcApply.applyBatch(table, mkBatch(i), i.toLong,
+        CdcApply.Options(mergeOnRead = true, compactEvery = 100))
+    }
+    val conv = "batch1-conv-007"
+    val s = table.currentSnapshot
+    val total = s.files.values.flatten.size + s.deltas.values.flatten.size
+    val pruned = table.filesForConv(conv)
+    assert(pruned.nonEmpty && pruned.size < total,
+      s"bucket pruning must cut the file set: $total -> ${pruned.size}")
+    // range pruning bites WITHIN the bucket: other batches' files there
+    // have disjoint conv ranges and must be skipped
+    val bucket = (0 until 4).find(b =>
+      (s.files.getOrElse(b, Nil) ++ s.deltas.getOrElse(b, Nil)).exists(pruned.contains)).get
+    val candInBucket =
+      s.files.getOrElse(bucket, Nil).size + s.deltas.getOrElse(bucket, Nil).size
+    assert(pruned.size < candInBucket,
+      s"range pruning within the bucket: candidates=$candInBucket pruned=${pruned.size}")
+    // visible result identical to the full-scan filter
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    val expect = rows(table.read().filter($"conv_id" === conv))
+    assert(expect.nonEmpty && rows(table.readConv(conv)) == expect)
+    // updates + deletes flow through the pruned path (LWW + tombstones)
+    val upd = Seq((90001L, "U", conv, 0, "user", "updated"),
+      (90002L, "D", "batch1-conv-008", 0, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, upd, 9L, CdcApply.Options(mergeOnRead = true, compactEvery = 100))
+    assert(table.readConv(conv).select("text").as[String].collect().toSeq == Seq("updated"))
+    assert(table.readConv("batch1-conv-008").count() == 0, "tombstone honored in point read")
+    // compaction records ranges for its rewritten files too
+    table.compact()
+    assert(rows(table.readConv(conv)) == rows(table.read().filter($"conv_id" === conv)))
+    val s2 = table.currentSnapshot
+    assert(s2.files.values.flatten.forall(s2.fileRanges.contains),
+      "compacted base files must carry key ranges")
+  }
+
   test("orphan GC never deletes in-flight pipelined writes, even past the mtime grace") {
     import spark.implicits._
     val table = new LakeTable(spark, tmpDir("pending-table"), numBuckets = 2)

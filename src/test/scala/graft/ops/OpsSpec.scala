@@ -112,16 +112,24 @@ class TextOpsSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    val (kept, report) =
+    val curated =
       try {
         val r = CurationPipeline.curate(input, "doc_id", "text",
           CurationPipeline.Config(langs = Set("en"), jaccardThreshold = 0.6))
         org.apache.spark.sql.GraftShim.waitListenerBusEmpty(spark)
         r
       } finally spark.listenerManager.unregister(listener)
+    val (kept, report) = (curated.kept, curated.report)
     assert(actions.get() <= 2, s"curate must run ≤2 actions, ran ${actions.get()}")
+    // caller-side cost contract: an action on `kept` reads two caches —
+    // the LSH band explode (Generate) must NOT be in its executed plan
     val ids = kept.select("doc_id").as[Long].collect().toSet
-    CurationPipeline.unpersistFunnelCache()
+    val live = org.apache.spark.sql.GraftShim.livePhysicalNodeNames(kept)
+    assert(live.exists(_.contains("InMemoryTableScan")),
+      s"kept must read the funnel caches, live nodes: $live")
+    assert(!live.exists(_.contains("Generate")),
+      s"LSH band explode must not re-run on caller actions, live nodes: $live")
+    curated.release()
     assert(report.input == 8 && report.kept == ids.size)
     assert(!ids.contains(10L), "quality gate (length)")
     assert(!ids.contains(4L), "quality gate (no stopword hits)")
