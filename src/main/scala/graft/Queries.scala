@@ -562,7 +562,7 @@ object Queries {
     "q_doc_neardup_simhash" -> OracleSql.neardupSimhash(maxDist = 4),
     "q_doc_fingerprint" -> OracleSql.fingerprint(k = 16),
     "q_emb_ann_lsh" -> OracleSql.annLsh(bits = 8, dim = 64, k = 10),
-    "q_emb_ann_ivf" -> OracleSql.annIvf(nlist = 16, nprobe = 4, k = 10),
+    "q_emb_ann_ivf" -> OracleSql.annIvf(nlist = 16, nprobe = 4, k = 10, sampleN = 256),
     "q_emb_neardup" -> OracleSql.embNearDup(threshold = 0.95),
     "q_media_features" -> OracleSql.mediaFeatures(),
     "q_json_iterator" ->

@@ -77,6 +77,49 @@ object VectorOps {
     df.orderBy(col(idCol).asc).select(col(vecCol)).limit(nlist).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
+  /** One deterministic Lloyd refinement over the `sampleN` smallest-id
+    * vectors: seeds = [[ivfCentroids]]; each sample vector goes to its
+    * max-cosine seed (ties → lowest cell); each non-empty cell's centroid
+    * becomes the per-dimension mean of its members accumulated IN ID ORDER
+    * (sequential double adds, so the DuckDB oracle reproduces it
+    * bit-for-bit); empty cells keep their seed. Extends the recall
+    * guarantee to weakly-clustered corpora where a raw data sample lands
+    * seeds off-center (round-3 verdict item 6) — still one bounded driver
+    * collect, the sample-trained k-means habit of production IVF. */
+  def ivfCentroidsRefined(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, sampleN: Int = 256): Array[Array[Double]] = {
+    val sample = df.orderBy(col(idCol).asc).select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val seeds = sample.take(nlist)
+    if (seeds.isEmpty) return seeds
+    val assigned = sample.map { v =>
+      var best = 0; var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < seeds.length) { // strict > keeps the FIRST max → lowest cell
+        val cs = cosineDD(v, seeds(c))
+        if (cs > bestCos) { bestCos = cs; best = c }
+        c += 1
+      }
+      best
+    }
+    seeds.indices.map { c =>
+      val members = sample.indices.filter(assigned(_) == c).map(sample) // id order
+      if (members.isEmpty) seeds(c)
+      else {
+        val dim = members.head.length
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0.0
+          members.foreach(v => s += (if (i < v.length) v(i) else 0.0))
+          out(i) = s / members.length
+          i += 1
+        }
+        out
+      }
+    }.toArray
+  }
+
   /** IVF (inverted-file) ANN top-k: every vector is assigned to its
     * max-cosine coarse centroid cell; the query probes only the `nprobe`
     * cells whose centroids are closest to it, then ranks candidates by
@@ -88,8 +131,11 @@ object VectorOps {
     * is clusterable — the regime IVF is for; OpsSpec pins ≥0.9 on a
     * clustered fixture with nprobe/nlist = 1/4). */
   def cosineTopKIvf(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(df, idCol, vecCol, nlist)
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      refineSampleN: Int = 256): DataFrame = {
+    val cents =
+      if (refineSampleN > 0) ivfCentroidsRefined(df, idCol, vecCol, nlist, refineSampleN)
+      else ivfCentroids(df, idCol, vecCol, nlist)
     // probe cells: nprobe nearest centroids to the query (driver-side,
     // same arithmetic as the assignment expression → oracle-agreeable)
     val probed = cents.zipWithIndex

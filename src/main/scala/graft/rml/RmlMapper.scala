@@ -157,6 +157,38 @@ object RmlMapper {
                 case _ => item.select(col("_row").cast("string").as("value"))
               }
             case FieldSeg(name) => df.select(col(name + ".*"))
+            case DescendSeg(target) =>
+              // schema-resolved `$..target`: find every parent path whose
+              // struct holds a field `target` (descending through arrays);
+              // exactly one may exist — jsonpath_ng's multi-match union is
+              // out of the bounded form, so ambiguity fails loudly
+              import org.apache.spark.sql.types.{ArrayType, StructType}
+              def paths(dt: org.apache.spark.sql.types.DataType,
+                  prefix: List[String]): List[List[String]] = dt match {
+                case st: StructType => st.fields.toList.flatMap { f =>
+                  (if (f.name == target) List(prefix) else Nil) ++
+                    paths(f.dataType, prefix :+ f.name)
+                }
+                case at: ArrayType => paths(at.elementType, prefix)
+                case _ => Nil
+              }
+              paths(df.schema, Nil) match {
+                case Nil =>
+                  throw RmlCompiler.RmlError(
+                    s"JSONPath '$$..$target': no field '$target' anywhere in the document schema")
+                case path :: Nil =>
+                  path.foldLeft(df) { (d, fname) =>
+                    var cur = d.select(col(fname).as("_d"))
+                    while (cur.schema.head.dataType.isInstanceOf[ArrayType])
+                      cur = cur.select(explode(col("_d")).as("_d"))
+                    cur.select("_d.*") // guaranteed struct: path came from the schema
+                  }
+                case many =>
+                  throw RmlCompiler.RmlError(
+                    s"JSONPath '$$..$target' is ambiguous (${many.size} paths: " +
+                      many.map(p => ("$" +: p).mkString(".")).mkString(", ") +
+                      ") — bounded descent requires a unique target")
+              }
           }
         }
     }
@@ -166,6 +198,10 @@ object RmlMapper {
   private final case class FieldSeg(name: String) extends Seg
   private final case class ArraySeg(name: String) extends Seg
   private final case class IndexSeg(name: String, idx: Int) extends Seg
+  /** `$..name` — descend to the UNIQUE schema path whose parent holds a
+    * field `name` (exploding any arrays along the way), then continue with
+    * the normal segments. Ambiguous/absent targets are rejected loudly. */
+  private final case class DescendSeg(target: String) extends Seg
 
   /** Parse the `$.students[*]` / `$['students'][*]` / `$.students[0]`
     * subset — dot form plus bracket notation (single or double quotes) plus
@@ -178,6 +214,19 @@ object RmlMapper {
     * form first. */
   private def parseJsonPath(p: String): Seq[Seg] = {
     import RmlCompiler.RmlError
+    // bounded recursive descent: a single LEADING `$..name` is supported
+    // (resolved against the inferred schema to its unique path, see
+    // loadJson); `..` anywhere else keeps the loud reject
+    if (p.startsWith("$..")) {
+      val rest = p.drop(3)
+      val ident = """^([A-Za-z_][A-Za-z0-9_]*)""".r
+      ident.findFirstIn(rest) match {
+        case Some(target) if !rest.contains("..") =>
+          return DescendSeg(target) +: parseJsonPath("$." + rest)
+        case _ =>
+          throw RmlError(s"unsupported JSONPath (recursive descent form): $p")
+      }
+    }
     if (p.contains(".."))
       throw RmlError(s"unsupported JSONPath (recursive descent '..'): $p")
     if (p.contains("[?"))

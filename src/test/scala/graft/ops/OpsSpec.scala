@@ -230,6 +230,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 on clustered fixture")
   }
 
+  test("IVF ANN with Lloyd refinement: recall ≥ 0.9 on WEAKLY-clustered data") {
+    // looser clusters (noise σ=1.5 against center scale 5): raw data-sample
+    // seeds sit off-center here, the regime the one-pass Lloyd refinement
+    // exists for
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val data = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 1.5).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.map(_.toDouble)
+    val exact = VectorOps.cosineTopK(df, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = VectorOps.cosineTopKIvf(df, "vec_id", "embedding", q, 20,
+        nlist = 16, nprobe = 4, refineSampleN = 256)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"refined IVF recall $recall < 0.9 on weakly-clustered fixture")
+  }
+
   test("embeddingNearDups finds planted duplicate vector") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 3).select(lit(9999L).as("vec_id"), $"embedding"))

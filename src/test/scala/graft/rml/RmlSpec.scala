@@ -271,10 +271,36 @@ class RmlCompilerSpec extends SparkSpec {
     val dir = tmpDir("rml-json-bad")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
       """{"a": [1, 2, 3]}""")
-    for (bad <- Seq("$..name", "$.a[?(@.x > 1)]", "$.a[0:2]", "$.*",
+    for (bad <- Seq("$..name", // descent target absent from the schema
+        "$..a..b", // double descent is outside the bounded form
+        "$.a[?(@.x > 1)]", "$.a[0:2]", "$.*",
         "$.a[*][0]", "$.a[0][1]"))
       assertThrows[RmlCompiler.RmlError](
         RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
+  }
+
+  test("JSONPath bounded recursive descent: $..students resolves the unique nested path") {
+    val dir = tmpDir("rml-json-desc")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"school": {"year": 2024, "classes": [
+        |  {"room": "A", "students": [{"id": "1", "name": "Alice"}, {"id": "2", "name": "Bob"}]},
+        |  {"room": "B", "students": [{"id": "3", "name": "Cara"}]}
+        |]}}""".stripMargin)
+    import spark.implicits._
+    // all students across all classes (schema-resolved $..students + [*])
+    val all = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..students[*]"))
+    assert(all.select("id", "name").as[(String, String)].collect().toSet ==
+      Set(("1", "Alice"), ("2", "Bob"), ("3", "Cara")))
+    // first student of EACH class (index applies per matched array)
+    val firsts = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..students[0]"))
+    assert(firsts.select("name").as[String].collect().toSet == Set("Alice", "Cara"))
+    // ambiguity fails loudly: two distinct paths hold a `name` field
+    val dir2 = tmpDir("rml-json-amb")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/data.json"),
+      """{"x": {"name": [{"v": "a"}]}, "y": {"name": [{"v": "b"}]}}""")
+    val e = intercept[RmlCompiler.RmlError](
+      RmlMapper.loadJson(spark, s"$dir2/data.json", Some("$..name[*]")))
+    assert(e.getMessage.contains("ambiguous"))
   }
 
   test("library mode with raw CSV strings (flexcore.py:286-303)") {
