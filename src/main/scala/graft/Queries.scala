@@ -339,6 +339,10 @@ object Queries {
     // pairs; 64×5 banding + guard off makes the near-dup step equal the
     // brute-force truth, so the whole pipeline is exactly checkable
     "q_curation" -> ((s, d) => {
+      // the handle cannot be released here (the returned plan reads the
+      // caches); the driver evaluates this plan exactly once per session,
+      // so the cost is ONE pinned MEMORY_AND_DISK pair, storage-LRU
+      // evictable under pressure — a handle-owning caller releases()
       graft.ops.CurationPipeline.curate(
         T(s, d, "documents"), "doc_id", "text",
         graft.ops.CurationPipeline.Config(langs = Set("en"),

@@ -55,6 +55,10 @@ final class CdcPipeline(
     Long, CompletableFuture[Try[(LakeTable.DeltaWrite, Long)]]]()
   @volatile private var failure: Throwable = null
   private val pipelined = new java.util.concurrent.atomic.AtomicInteger()
+  /** One source-log reader per stream — its entry cache keeps the hot path
+    * from re-parsing the manifest (compact files carry full history). */
+  private val sourceFiles: Long => Seq[String] =
+    GraftShim.sourceLogReader(spark, checkpointRoot)
 
   /** Batches that took the async write path (not the sync fallback) —
     * lets tests assert the overlap actually engaged. */
@@ -66,11 +70,16 @@ final class CdcPipeline(
   def submit(events: DataFrame, batchId: Long): Unit = {
     rethrowIfFailed()
     if (table.currentSnapshot.applied(batchId)) return // re-delivery after recovery
-    val files =
-      Try(GraftShim.sourceBatchFiles(spark, checkpointRoot, batchId)).getOrElse(Nil)
+    val files = Try(sourceFiles(batchId)).getOrElse(Nil)
     if (files.isEmpty) {
-      // empty micro-batch, or a source without a file manifest: apply
-      // synchronously — correctness first, overlap is best-effort
+      // empty micro-batch, or a source without a file manifest: DRAIN the
+      // committer first so this inline apply cannot commit ahead of older
+      // in-flight batches (commit order is an invariant — a reordered
+      // commit would overwrite snapshot bucketWeights with older stats and
+      // put this id in the exception set), then apply synchronously —
+      // correctness first, overlap is best-effort
+      committer.submit(new Runnable { def run(): Unit = () }).get()
+      rethrowIfFailed()
       CdcApply.applyBatch(table, events, batchId, opts)
       return
     }

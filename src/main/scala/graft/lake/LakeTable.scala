@@ -57,7 +57,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       * side effect, which breaks lazily-held reader plans over expired
       * versions (time travel, cross-process readers) — a sustained-ingest
       * caller that wants bounded metadata turns it on explicitly
-      * (CdcApply.Options.autoExpireEvery does). In-flight pipelined writes
+      * (construct the table with `autoExpireEvery > 0`, or schedule
+      * [[expireSnapshots]] as real maintenance). In-flight pipelined writes
       * are protected from the orphan GC explicitly (not just by mtime
       * grace): every file written by [[writeDeltaFiles]]/[[merge]]/
       * [[compact]] is registered pending until its commit resolves. */
@@ -244,10 +245,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   /** Time travel: the public view AS OF a snapshot version (every commit
     * bumps the version; snapshots are immutable until [[expireSnapshots]]).
     * Reads go through the per-snapshot file list, so history is exact.
-    * NOTE: auto-maintenance (`autoExpireEvery`, default on — the Iceberg
-    * lifecycle norm) prunes history beyond the last `autoExpireKeep`
-    * snapshots; construct the table with `autoExpireEvery = 0` if
-    * unbounded time travel matters more than bounded metadata. */
+    * NOTE: when auto-maintenance is opted in (`autoExpireEvery > 0`),
+    * history beyond the last `autoExpireKeep` snapshots is pruned —
+    * unbounded time travel requires the (default) opt-out plus scheduled
+    * [[expireSnapshots]] maintenance with a generous `keep`. */
   def readAt(version: Long): DataFrame = {
     val s = snapshotAt(version)
     val publicCols = s.schema.fields.map(_.name).filterNot(metaColNames.contains)
@@ -273,7 +274,13 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val s = currentSnapshot
     val b = bucketOfValue(convId, s.numBuckets)
     (s.files.getOrElse(b, Nil) ++ s.deltas.getOrElse(b, Nil)).filter { f =>
-      s.fileRanges.get(f).forall { case (lo, hi) => lo <= convId && convId <= hi }
+      s.fileRanges.get(f).forall { case (lo, hi) =>
+        // parquet min/max are UNSIGNED-UTF-8-BYTE ordered; Java String
+        // (UTF-16 code unit) order disagrees beyond the BMP boundary, so
+        // compare in the stats' own order or a supplementary-plane key
+        // could be pruned from the file that holds it
+        LakeTable.utf8Compare(lo, convId) <= 0 && LakeTable.utf8Compare(convId, hi) <= 0
+      }
     }
   }
 
@@ -523,6 +530,9 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val newFiles = rewriteBuckets(all, affected, keyCols, saltPartitions,
       Map.empty, sortedDedup = true, saltBuckets = 1,
       dropTombstonesBelowLsn = dropTombstonesBelowLsn)
+    // footer IO stays OUTSIDE the commit lock — a background compaction
+    // must never stall the ordered-commit loop on 100+ footer reads
+    val (_, ranges) = footerStats(newFiles.filter(_._2.nonEmpty))
     try commitLock.synchronized {
       val s2 = currentSnapshot
       // same guard as merge(): a concurrent BASE rewrite of an affected
@@ -538,7 +548,6 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         b -> (if (affected.contains(b)) fs.diff(s.deltas.getOrElse(b, Nil)) else fs)
       }.filter(_._2.nonEmpty)
       val files2 = (s2.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
-      val (_, ranges) = footerStats(newFiles.filter(_._2.nonEmpty))
       commit(s2.copy(version = s2.version + 1, files = files2,
         deltas = foldedDeltas, fileRanges = s2.fileRanges ++ ranges))
     } finally releasePending(newFiles)
@@ -567,6 +576,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       t
     })
   private val compactQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** First non-retryable background-maintenance failure — surfaced by
+    * [[awaitMaintenance]] so a broken compaction (corrupt file, disk full)
+    * cannot masquerade as a healthy run while deltas grow unboundedly. */
+  @volatile private var maintenanceFailure: Throwable = null
 
   /** Queue one compaction if `maxDeltaFiles >= trigger` and none is already
     * queued/running (at-most-one in flight; the trigger re-fires on the
@@ -576,14 +589,25 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       maintenancePool.submit(new Runnable {
         def run(): Unit =
           try compact(saltPartitions)
-          catch { case _: java.util.ConcurrentModificationException => () }
+          catch {
+            // a racing base rewrite won; the next trigger simply retries
+            case _: java.util.ConcurrentModificationException => ()
+            case t: Throwable => if (maintenanceFailure == null) maintenanceFailure = t
+          }
           finally compactQueued.set(false)
       })
 
   /** Barrier: returns once all queued maintenance has finished (replay
-    * epilogue / tests — measured time honestly includes compaction debt). */
-  def awaitMaintenance(): Unit =
+    * epilogue / tests — measured time honestly includes compaction debt).
+    * Rethrows the first background-maintenance failure, if any. */
+  def awaitMaintenance(): Unit = {
     maintenancePool.submit(new Runnable { def run(): Unit = () }).get()
+    val f = maintenanceFailure
+    if (f != null) {
+      maintenanceFailure = null
+      throw new RuntimeException("background maintenance failed", f)
+    }
+  }
 
   // ---- bucket rescaling ----------------------------------------------------
 
@@ -599,11 +623,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val all = resolvedRaw(s).withColumn("_bucket", bucketOfN(col(keyCols.head), newNumBuckets))
     val newFiles = rewriteBuckets(all, (0 until newNumBuckets).toSet, keyCols,
       saltPartitions, Map.empty, sortedDedup = true, saltBuckets = 1)
+    val (_, ranges) = footerStats(newFiles.filter(_._2.nonEmpty)) // outside the lock
     try commitLock.synchronized {
       val s2 = currentSnapshot
       require(s2.version == s.version,
         "concurrent commit during rescale — run rescale quiesced")
-      val (_, ranges) = footerStats(newFiles.filter(_._2.nonEmpty))
       commit(s2.copy(version = s2.version + 1, numBuckets = newNumBuckets,
         files = newFiles.filter(_._2.nonEmpty), deltas = Map.empty,
         bucketWeights = Map.empty, fileRanges = ranges))
@@ -891,6 +915,21 @@ object LakeTable {
   private val mapper = new ObjectMapper()
   val metaColNames: Set[String] = Set("_lsn", "_op", "_bucket")
 
+  /** Unsigned UTF-8 byte order — the collation of parquet string min/max
+    * statistics (and of Spark's binary comparisons). */
+  private[lake] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   def withMeta(publicSchema: StructType): StructType =
     StructType(publicSchema.fields.filterNot(f => metaColNames.contains(f.name)) ++
       graft.model.Model.metaCols)
@@ -942,12 +981,5 @@ object ParquetStats {
       }
       FileStat(rows, lo, hi, cLo, cHi)
     } finally reader.close()
-  }
-
-  /** Back-compat: (rows, lsnMin, lsnMax). */
-  def lsnStats(path: String, conf: org.apache.hadoop.conf.Configuration)
-      : (Long, Option[Long], Option[Long]) = {
-    val s = fileStat(path, "conv_id", conf)
-    (s.rows, s.lsnMin, s.lsnMax)
   }
 }

@@ -47,13 +47,21 @@ object GraftShim {
     * foreachBatch runs — the recovery journal of the pipelined streaming
     * apply. `private[sql]` in Spark, hence this in-package bridge. */
   def sourceBatchFiles(spark: SparkSession, checkpointRoot: String,
-      batchId: Long): Seq[String] = {
+      batchId: Long): Seq[String] =
+    sourceLogReader(spark, checkpointRoot)(batchId)
+
+  /** A reusable reader over the source log — construct ONCE per stream and
+    * reuse per batch: the log instance keeps an entry cache, so the hot
+    * path avoids re-constructing the metadata log (and re-parsing compact
+    * files, which carry the stream's full history) every micro-batch. */
+  def sourceLogReader(spark: SparkSession, checkpointRoot: String): Long => Seq[String] = {
     import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
     val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION, spark,
       s"$checkpointRoot/sources/0")
     // compact log files carry the full history; keep THIS batch's entries
-    log.get(batchId).map(_.filter(_.batchId == batchId).map(_.path).toSeq)
-      .getOrElse(Seq.empty)
+    (batchId: Long) =>
+      log.get(batchId).map(_.filter(_.batchId == batchId).map(_.path).toSeq)
+        .getOrElse(Seq.empty)
   }
 
   /** All batches the file-stream source has planned, from `fromBatchId` on:

@@ -194,6 +194,28 @@ class LakeSpec extends SparkSpec {
       "compacted base files must carry key ranges")
   }
 
+  test("range pruning compares in unsigned UTF-8 byte order (parquet stats collation)") {
+    // "aﬀ" (3-byte UTF-8) vs "a🙂" (4-byte, supplementary plane):
+    // Java String order puts ﬀ AFTER the surrogate pair, UTF-8 byte
+    // order puts it BEFORE — pruning must follow the stats' byte order or
+    // a key could be pruned from the very file that holds it
+    val lig = "aﬀ"
+    val emoji = "a🙂"
+    assert(lig.compareTo(emoji) > 0, "fixture: UTF-16 order disagrees")
+    assert(LakeTable.utf8Compare(lig, emoji) < 0, "UTF-8 byte order")
+    import spark.implicits._
+    val table = new LakeTable(spark, tmpDir("utf8-table"), numBuckets = 1)
+    table.create(Model.transcriptSchema)
+    val df = Seq((1L, "I", lig, 0, "user", "t1"), (2L, "I", emoji, 0, "user", "t2"))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, df, 0L, CdcApply.Options(mergeOnRead = true))
+    // both keys sit between the file's byte-ordered min/max — neither may
+    // be pruned out of its own file
+    assert(table.readConv(lig).count() == 1)
+    assert(table.readConv(emoji).count() == 1)
+  }
+
   test("orphan GC never deletes in-flight pipelined writes, even past the mtime grace") {
     import spark.implicits._
     val table = new LakeTable(spark, tmpDir("pending-table"), numBuckets = 2)
