@@ -333,5 +333,7 @@ object CdcApply {
     if (opts.backgroundCompact)
       table.maybeCompactAsync(opts.compactEvery, opts.mergeSaltPartitions)
     else if (table.maxDeltaFiles >= opts.compactEvery)
-      table.compact(saltPartitions = opts.mergeSaltPartitions)
+      // same leveling as the background path: fold only the deep buckets
+      table.compact(saltPartitions = opts.mergeSaltPartitions,
+        minDeltaFiles = opts.compactEvery)
 }

@@ -510,18 +510,25 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     if (commitDelta(batchId, w)) Some(w.stats) else None
   }
 
-  /** Fold all outstanding deltas into the base (Iceberg-compaction analog).
+  /** Fold outstanding deltas into the base (Iceberg-compaction analog).
     * `dropTombstonesBelowLsn`: GC delete tombstones whose lsn is below the
-    * replay watermark (no event older than it can still arrive). */
+    * replay watermark (no event older than it can still arrive).
+    * `minDeltaFiles`: fold only buckets carrying at least this many delta
+    * files (LSM-style leveling — the auto-compaction path passes its
+    * trigger depth, so each background pass rewrites only the DEEP buckets
+    * instead of the whole table; default 1 = fold everything, the
+    * explicit-maintenance semantics). */
   def compact(saltPartitions: Int = 4,
-      dropTombstonesBelowLsn: Option[Long] = None): Unit = {
+      dropTombstonesBelowLsn: Option[Long] = None,
+      minDeltaFiles: Int = 1): Unit = {
     val s = currentSnapshot
-    // normal compaction touches only delta-bearing buckets; a tombstone-GC
-    // pass is a maintenance rewrite of every bucket that has data
+    // normal compaction touches only (sufficiently deep) delta-bearing
+    // buckets; a tombstone-GC pass is a maintenance rewrite of every
+    // bucket that has data
     val affected =
       if (dropTombstonesBelowLsn.isDefined)
         s.deltas.filter(_._2.nonEmpty).keySet ++ s.files.filter(_._2.nonEmpty).keySet
-      else s.deltas.filter(_._2.nonEmpty).keySet
+      else s.deltas.filter(_._2.size >= math.max(1, minDeltaFiles)).keySet
     if (affected.isEmpty) return
     val all = readFileMapDf(s, (s.files.view.filterKeys(affected).toMap ++
         s.deltas.map { case (b, fs) => b -> (s.files.getOrElse(b, Nil) ++ fs) }),
@@ -588,7 +595,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     if (maxDeltaFiles >= trigger && compactQueued.compareAndSet(false, true))
       maintenancePool.submit(new Runnable {
         def run(): Unit =
-          try compact(saltPartitions)
+          // leveling: fold only buckets at/above the trigger depth — each
+          // background pass does O(deep buckets) work, not O(table), so
+          // compaction cost stays bounded as the table grows (the 10^8
+          // measurement showed whole-table folds dominating per-batch cost)
+          try compact(saltPartitions, minDeltaFiles = trigger)
           catch {
             // a racing base rewrite won; the next trigger simply retries
             case _: java.util.ConcurrentModificationException => ()
