@@ -83,6 +83,34 @@ object CdcStream {
     (q, pipeline)
   }
 
+  /** Pick `maxFilesPerTrigger` so micro-batches hold ≈ `targetEvents`
+    * rows, from the parquet footers of a few log files (no data pages
+    * read). The 10^8 measurement (BASELINE.md round 4) showed per-batch
+    * fixed cost grows with table state: batches must grow with the table
+    * (≥ ~10M events at 10^8 scale) or the fixed cost dominates — this is
+    * the sizing helper that encodes that operational rule. */
+  def suggestMaxFilesPerTrigger(spark: SparkSession, logDir: String,
+      targetEvents: Long = 10000000L, sampleFiles: Int = 8): Int = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
+    val all =
+      try st.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally st.close()
+    if (all.isEmpty) return 8
+    // stride-sample ACROSS the log: segments differ in rows/file (e.g. the
+    // schema-evolution cut segment is short), so the first-N files of one
+    // segment would skew the estimate
+    val stride = math.max(1, all.size / math.max(1, sampleFiles))
+    val files = all.grouped(stride).map(_.head).take(sampleFiles).toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    val avg = files.map(p => graft.lake.ParquetStats.rowCount(p.toString, conf)).sum /
+      math.max(1, files.size)
+    math.max(1, math.ceil(targetEvents.toDouble / math.max(1L, avg)).toInt)
+  }
+
   /** Run to completion of currently-available data (AvailableNow).
     * Dispatches to the pipelined sink when opts ask for it. */
   def runOnce(spark: SparkSession, logDir: String, table: LakeTable,

@@ -993,4 +993,12 @@ object ParquetStats {
       FileStat(rows, lo, hi, cLo, cHi)
     } finally reader.close()
   }
+
+  /** Row count alone (footer only — no data pages). */
+  def rowCount(path: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
 }

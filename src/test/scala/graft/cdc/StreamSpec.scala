@@ -117,9 +117,9 @@ class StreamSpec extends SparkSpec {
     val opts = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4, compactEvery = 4)
 
     // phase 1: stop after at least one micro-batch, then ABORT the pipeline
-    // (no drain): batches whose foreachBatch returned but whose commit never
-    // ran leave journal entries behind — the crash window SS alone can't
-    // cover with an async sink
+    // (no drain): batches whose foreachBatch returned but whose commit
+    // never ran stay in the source log above the table watermark — the
+    // crash window SS alone can't cover with an async sink
     val (q1, p1) = CdcStream.startPipelined(spark, logDir, table, ckDir,
       maxFilesPerTrigger = 2, opts)
     var waited = 0
@@ -142,6 +142,18 @@ class StreamSpec extends SparkSpec {
     assert(finalStateOf(table) == expect, "state after abort + restart")
     val applied = table.currentSnapshot.appliedBatchIds
     assert(applied.size == applied.toSeq.distinct.size, "no double apply")
+  }
+
+  test("suggestMaxFilesPerTrigger sizes micro-batches from footer row counts") {
+    val cfg = ChangeLogGen.Config(numEvents = 8000, numConversations = 40, maxTurns = 16)
+    val logDir = tmpDir("mft-log")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 2, filesPerSegment = 8)
+    // ~8000 events in ~16-24 files → ~330-500 rows/file; target 2000 rows
+    // per batch → a handful of files per trigger, never the degenerate 1
+    val mft = CdcStream.suggestMaxFilesPerTrigger(spark, logDir, targetEvents = 2000)
+    assert(mft >= 3 && mft <= 8, s"expected ~2000/rowsPerFile files, got $mft")
+    // empty dir falls back to a sane default
+    assert(CdcStream.suggestMaxFilesPerTrigger(spark, tmpDir("mft-empty")) == 8)
   }
 
   test("windowed ingest metrics: watermarked event-time aggregation") {
