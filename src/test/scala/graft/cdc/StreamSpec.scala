@@ -9,9 +9,12 @@ import graft.model.Model
   * kill, idempotent re-delivery (SURVEY.md §5.3). */
 class StreamSpec extends SparkSpec {
 
-  private def finalStateOf(table: LakeTable): Map[(String, Int), (String, String)] =
+  // (role, text, tool): the evolved `tool` column rides through every
+  // streaming path, so state equality must include it
+  private def finalStateOf(table: LakeTable): Map[(String, Int), (String, String, Option[String])] =
     table.read().collect()
-      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3))))
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getString(2), r.getString(3), Option(r.getString(4)))))
       .toMap
 
   test("streaming apply equals batch oracle; restart from checkpoint is a no-op") {
@@ -29,7 +32,7 @@ class StreamSpec extends SparkSpec {
       Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
         r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
     }
-    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text, e.tool)) }
     assert(finalStateOf(table) == expect)
 
     // restart: same checkpoint, no new data → no state change, no new version
@@ -64,7 +67,7 @@ class StreamSpec extends SparkSpec {
       Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
         r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
     }
-    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text, e.tool)) }
     val got = finalStateOf(table)
     assert(got == expect, s"mid=$midRows got=${got.size} expect=${expect.size}")
     // exactly-once: applied batch ids are unique (no double apply)
@@ -92,7 +95,7 @@ class StreamSpec extends SparkSpec {
       Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
         r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
     }
-    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text, e.tool)) }
     assert(finalStateOf(table) == expect, "pipelined streaming final state")
 
     // every source-log batch is committed — a recovery pass finds nothing
@@ -138,7 +141,7 @@ class StreamSpec extends SparkSpec {
       Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
         r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
     }
-    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text, e.tool)) }
     assert(finalStateOf(table) == expect, "state after abort + restart")
     val applied = table.currentSnapshot.appliedBatchIds
     assert(applied.size == applied.toSeq.distinct.size, "no double apply")
