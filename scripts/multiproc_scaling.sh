@@ -15,8 +15,10 @@ if [ ! -d target/shardrun2/shard3 ]; then
     -I scripts/multiproc_prep.scala
 fi
 
+# SHARD_MODE=stream (exported by the caller) routes each shard through the
+# Structured Streaming entry point instead of batch replay
 run_one() {
-  SHARD_LOG=$1 /opt/spark/bin/spark-shell --master 'local[4]' $COMMON \
+  SHARD_LOG=$1 SHARD_MODE=${SHARD_MODE:-batch} /opt/spark/bin/spark-shell --master 'local[4]' $COMMON \
     -I scripts/multiproc_replay.scala 2>&1 | grep -a SHARD_RESULT
 }
 echo "== baseline: 1 process x 4 cores, one 16M shard"
