@@ -93,11 +93,14 @@ object CdcStream {
       targetEvents: Long = 10000000L, sampleFiles: Int = 8): Int = {
     import scala.jdk.CollectionConverters._
     val st = java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
+    // bounded enumeration: at 10^10 scale the log holds millions of files —
+    // sampling needs a spread, not a full listing (4096 is ≥ two orders of
+    // magnitude more than sampleFiles and caps the walk)
     val all =
       try st.iterator().asScala
         .filter(p => java.nio.file.Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
+        .take(4096).toSeq.sortBy(_.toString)
       finally st.close()
     if (all.isEmpty) return 8
     // stride-sample ACROSS the log: segments differ in rows/file (e.g. the
