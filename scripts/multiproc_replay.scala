@@ -12,14 +12,14 @@ val opts = CdcApply.Options(mergeOnRead = true, compactEvery = 100, pipelineDept
 // SHARD_MODE=stream replays through the full Structured Streaming entry
 // point (CdcStream + CdcPipeline, fresh checkpoint) instead of batch replay
 val streamMode = sys.env.getOrElse("SHARD_MODE", "batch") == "stream"
-def applyAll(t: LakeTable, segs: Seq[String]): Unit = { if (streamMode) CdcStream.runOnce(spark, logDir, t, java.nio.file.Files.createTempDirectory("shard-ck").toString, 32, opts) else CdcApply.replay(spark, t, segs, opts) }
+def applyAll(t: LakeTable): Unit = { if (streamMode) CdcStream.runOnce(spark, logDir, t, java.nio.file.Files.createTempDirectory("shard-ck").toString, 32, opts) else CdcApply.replay(spark, t, segments, opts) } // always the FULL shard log — stream mode has no segment-subset form, so no param to silently ignore
 val warm = new LakeTable(spark, java.nio.file.Files.createTempDirectory("shard-w").toString, numBuckets = 8)
 warm.create(Model.transcriptSchema)
 CdcApply.replay(spark, warm, segments.take(1), opts) // JVM/codegen warm-up (batch in both modes — streaming runOnce has no segment subset)
 val t2 = new LakeTable(spark, java.nio.file.Files.createTempDirectory("shard-t").toString, numBuckets = 8)
 t2.create(Model.transcriptSchema)
 val t0 = System.nanoTime
-applyAll(t2, segments)
+applyAll(t2)
 val sec = (System.nanoTime - t0) / 1e9
 val rows = t2.readFull().count()
 // a thrown assert would NOT abort a -I run (the REPL continues past

@@ -93,21 +93,28 @@ object CdcStream {
       targetEvents: Long = 10000000L, sampleFiles: Int = 8): Int = {
     import scala.jdk.CollectionConverters._
     val st = java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
-    // bounded enumeration: at 10^10 scale the log holds millions of files —
-    // sampling needs a spread, not a full listing (4096 is ≥ two orders of
-    // magnitude more than sampleFiles and caps the walk)
-    val all =
-      try st.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .take(4096).toSeq.sortBy(_.toString)
-      finally st.close()
-    if (all.isEmpty) return 8
-    // stride-sample ACROSS the log: segments differ in rows/file (e.g. the
-    // schema-evolution cut segment is short), so the first-N files of one
-    // segment would skew the estimate
-    val stride = math.max(1, all.size / math.max(1, sampleFiles))
-    val files = all.grouped(stride).map(_.head).take(sampleFiles).toSeq
+    // UNIFORM reservoir sample over the whole walk (one streaming pass, no
+    // materialization): segments differ in rows/file (e.g. the
+    // schema-evolution cut segment is short), so a walk-order prefix — or
+    // a stride over a capped prefix — would skew toward whichever segments
+    // the filesystem yields first. Fixed seed = reproducible suggestion.
+    val rnd = new scala.util.Random(42)
+    val reservoir = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    var seen = 0L
+    try st.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        seen += 1
+        if (reservoir.size < sampleFiles) reservoir += p
+        else {
+          val j = (rnd.nextDouble() * seen).toLong
+          if (j < sampleFiles) reservoir(j.toInt) = p
+        }
+      }
+    finally st.close()
+    if (reservoir.isEmpty) return 8
+    val files = reservoir.toSeq
     val conf = spark.sessionState.newHadoopConf()
     val avg = files.map(p => graft.lake.ParquetStats.rowCount(p.toString, conf)).sum /
       math.max(1, files.size)

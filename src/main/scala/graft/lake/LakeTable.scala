@@ -517,7 +517,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * files (LSM-style leveling — the auto-compaction path passes its
     * trigger depth, so each background pass rewrites only the DEEP buckets
     * instead of the whole table; default 1 = fold everything, the
-    * explicit-maintenance semantics). */
+    * explicit-maintenance semantics). NOTE: `dropTombstonesBelowLsn` is a
+    * full maintenance rewrite of every data-bearing bucket by definition —
+    * it IGNORES `minDeltaFiles` (a tombstone can live in a bucket with no
+    * deltas at all). */
   def compact(saltPartitions: Int = 4,
       dropTombstonesBelowLsn: Option[Long] = None,
       minDeltaFiles: Int = 1): Unit = {
