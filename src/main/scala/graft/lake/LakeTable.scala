@@ -303,6 +303,38 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       .select(publicCols.map(col).toSeq: _*)
   }
 
+  /** Range read: public rows with `lo <= conv_id <= hi`, reading only
+    * files whose recorded key range OVERLAPS the interval. Hash bucketing
+    * cannot prune a range (keys scatter across buckets), but the per-file
+    * stats still can — batches that never touched the interval are
+    * skipped in every bucket. Same visible result as
+    * `read().filter(conv_id between lo and hi)`. */
+  def readConvRange(lo: String, hi: String): DataFrame = {
+    val s = currentSnapshot
+    val paths = filesForConvRange(lo, hi).map(f => rootPath.resolve(f).toString)
+    val publicCols = s.schema.fields.map(_.name).filterNot(metaColNames.contains)
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+      else spark.read.schema(s.schema).parquet(paths: _*)
+    graft.cdc.CdcApply.lwwDedup(
+        df.filter(col(keyCols.head) >= lo && col(keyCols.head) <= hi), keyCols, 1)
+      .filter(col("_op") =!= "D")
+      .select(publicCols.map(col).toSeq: _*)
+  }
+
+  /** Files a [[readConvRange]] would read: every file whose recorded key
+    * range OVERLAPS [lo, hi] in the stats' unsigned-UTF-8 collation
+    * (files without a recorded range are conservatively kept). */
+  def filesForConvRange(lo: String, hi: String): Seq[String] = {
+    val s = currentSnapshot
+    (s.files.values.flatten ++ s.deltas.values.flatten).filter { f =>
+      s.fileRanges.get(f).forall { case (fLo, fHi) =>
+        LakeTable.utf8Compare(fLo, hi) <= 0 && LakeTable.utf8Compare(lo, fHi) <= 0
+      }
+    }.toSeq
+  }
+
   /** Driver-side mirror of [[bucketOf]]'s column expression — evaluates
     * the SAME Catalyst XxHash64 so pruning and layout can never disagree. */
   private def bucketOfValue(v: String, nb: Int): Int = {

@@ -186,9 +186,21 @@ class LakeSpec extends SparkSpec {
     CdcApply.applyBatch(table, upd, 9L, CdcApply.Options(mergeOnRead = true, compactEvery = 100))
     assert(table.readConv(conv).select("text").as[String].collect().toSeq == Seq("updated"))
     assert(table.readConv("batch1-conv-008").count() == 0, "tombstone honored in point read")
+    // range read: file-range pruning works across buckets (hash bucketing
+    // can't prune a range, the per-file stats still can)
+    val (rlo, rhi) = ("batch2-conv-000", "batch2-conv-039")
+    val sR = table.currentSnapshot
+    val totalR = sR.files.values.flatten.size + sR.deltas.values.flatten.size
+    val prunedR = table.filesForConvRange(rlo, rhi)
+    assert(prunedR.nonEmpty && prunedR.size < totalR,
+      s"range pruning must cut the file set: $totalR -> ${prunedR.size}")
+    assert(rows(table.readConvRange(rlo, rhi)) ==
+      rows(table.read().filter($"conv_id" >= rlo && $"conv_id" <= rhi)))
     // compaction records ranges for its rewritten files too
     table.compact()
     assert(rows(table.readConv(conv)) == rows(table.read().filter($"conv_id" === conv)))
+    assert(rows(table.readConvRange(rlo, rhi)) ==
+      rows(table.read().filter($"conv_id" >= rlo && $"conv_id" <= rhi)))
     val s2 = table.currentSnapshot
     assert(s2.files.values.flatten.forall(s2.fileRanges.contains),
       "compacted base files must carry key ranges")
