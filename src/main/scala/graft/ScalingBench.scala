@@ -56,9 +56,20 @@ object ScalingBench {
       // — the north-star deployment; target: within ~10% of pipe8
       case Some("spipe8") => graft.cdc.CdcApply.Options(mergeOnRead = true,
         compactEvery = 16, pipelineDepth = 8)
-      case _ => graft.cdc.CdcApply.Options()
+      // STREAMING tail mode: ProcessingTime trigger + idle-stop instead of
+      // AvailableNow — the continuous-binlog deployment shape
+      case Some("stail8") => graft.cdc.CdcApply.Options(mergeOnRead = true,
+        compactEvery = 16, pipelineDepth = 8)
+      case Some("cow") | None => graft.cdc.CdcApply.Options()
+      // an unrecognized mode must fail LOUDLY: a typo (e.g. "spipe4")
+      // falling through to default Options() would run the streaming path
+      // as serial CoW and report it as a gated scaling result
+      case Some(other) => sys.error(
+        s"unknown mode '$other' (expected cow|mor|pipe|pipe8|pipefree|spipe8|stail8)")
     }
-    val streaming = args.drop(4).headOption.exists(_.startsWith("spipe"))
+    val mode = args.drop(4).headOption
+    val streaming = mode.exists(_.startsWith("spipe")) || mode.exists(_.startsWith("stail"))
+    val tail = mode.exists(_.startsWith("stail"))
     val buckets = args.drop(5).headOption.map(_.toInt).getOrElse(32)
     // GRAFT_WORK_DIR: reuse the (deterministic, parallelism-independent)
     // generated log across campaign invocations instead of regenerating

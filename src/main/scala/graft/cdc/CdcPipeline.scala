@@ -70,7 +70,17 @@ final class CdcPipeline(
   def submit(events: DataFrame, batchId: Long): Unit = {
     rethrowIfFailed()
     if (table.currentSnapshot.applied(batchId)) return // re-delivery after recovery
-    val files = Try(sourceFiles(batchId)).getOrElse(Nil)
+    val files = Try(sourceFiles(batchId)) match {
+      case Success(fs) => fs
+      case Failure(e) =>
+        // distinguish "source has no file manifest" (expected for non-file
+        // sources) from "manifest unreadable" in production triage — the
+        // serial fallback below is correct either way, but silently
+        // swallowing an IO error here would hide a corrupt checkpoint
+        System.err.println(s"[cdc-pipeline] source manifest unreadable for batch " +
+          s"$batchId (${e.getClass.getSimpleName}: ${e.getMessage}) — applying synchronously")
+        Nil
+    }
     if (files.isEmpty) {
       // empty micro-batch, or a source without a file manifest: DRAIN the
       // committer first so this inline apply cannot commit ahead of older
@@ -175,10 +185,20 @@ object CdcPipeline {
       Try(GraftShim.sourceLogBatches(spark, checkpointRoot, from)).getOrElse(Nil)
     var recovered = 0
     entries.foreach { case (batchId, files) =>
-      if (!table.currentSnapshot.applied(batchId) && files.nonEmpty) {
-        val ev = spark.read.schema(Model.changeEventSchema).parquet(files: _*)
-        CdcApply.applyBatch(table, ev, batchId, opts.copy(pipelineDepth = 1))
-        recovered += 1
+      if (!table.currentSnapshot.applied(batchId)) {
+        if (files.nonEmpty) {
+          val ev = spark.read.schema(Model.changeEventSchema).parquet(files: _*)
+          CdcApply.applyBatch(table, ev, batchId, opts.copy(pipelineDepth = 1))
+          recovered += 1
+        } else {
+          // a planned-but-EMPTY journaled batch (the source logged no files)
+          // must still be marked applied: skipping it would pin
+          // appliedWatermark below this id forever, growing the exception
+          // set for every later batch of a months-long stream. A no-op
+          // commitDelta advances the watermark without touching data.
+          table.commitDelta(batchId, LakeTable.DeltaWrite(Map.empty, Nil, Nil))
+          recovered += 1
+        }
       }
     }
     if (recovered > 0) table.flushLineage()

@@ -520,8 +520,13 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       val deltas2 = w.files.foldLeft(s.deltas) { case (m, (b, fs)) =>
         m.updated(b, m.getOrElse(b, Nil) ++ fs)
       }
+      // an EMPTY batch (no rows survived validation, or a no-op recovery
+      // commit) keeps the previous weights: zeroing the skew signal would
+      // make the next real batch salt uninformed
+      val weights2 = if (w.stats.isEmpty) s.bucketWeights
+        else w.stats.map(x => x._1 -> x._2).toMap
       commit(s.copy(version = s.version + 1, schema = schema2, deltas = deltas2,
-        bucketWeights = w.stats.map(x => x._1 -> x._2).toMap,
+        bucketWeights = weights2,
         fileRanges = s.fileRanges ++ w.ranges).withApplied(batchId))
       true
     } finally releasePending(w.files) // referenced (or orphaned) either way
@@ -1004,6 +1009,11 @@ object ParquetStats {
       var hi: Option[Long] = None
       var cLo: Option[String] = None
       var cHi: Option[String] = None
+      // If ANY data-bearing row group lacks usable key statistics, the file
+      // range must be dropped entirely (None = conservatively never pruned):
+      // a partial range covering only the stats-bearing groups would let
+      // filesForConv prune a file whose stats-less group holds the key.
+      var keyStatsIncomplete = false
       blocks.foreach { blk =>
         rows += blk.getRowCount
         blk.getColumns.asScala.find(_.getPath.toDotString == "_lsn").foreach { c =>
@@ -1015,17 +1025,22 @@ object ParquetStats {
             hi = Some(hi.fold(mx)(math.max(_, mx)))
           }
         }
-        blk.getColumns.asScala.find(_.getPath.toDotString == keyCol).foreach { c =>
-          val st = c.getStatistics
-          if (st != null && !st.isEmpty && st.hasNonNullValue) {
-            val mn = new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
-            val mx = new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
-            cLo = Some(cLo.fold(mn)(x => if (mn < x) mn else x))
-            cHi = Some(cHi.fold(mx)(x => if (mx > x) mx else x))
-          }
-        }
+        val keySt = blk.getColumns.asScala.find(_.getPath.toDotString == keyCol)
+          .map(_.getStatistics).orNull
+        if (keySt != null && !keySt.isEmpty && keySt.hasNonNullValue) {
+          val mn = new String(keySt.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+          val mx = new String(keySt.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+          // block minima/maxima are UNSIGNED-UTF-8-BYTE ordered; Java
+          // String (UTF-16 code unit) `<` disagrees beyond the BMP, so a
+          // multi-row-group file with minima straddling that boundary
+          // would get a merged range WRONG in the stats' own collation and
+          // filesForConv could prune the very file holding the key
+          cLo = Some(cLo.fold(mn)(x => if (LakeTable.utf8Compare(mn, x) < 0) mn else x))
+          cHi = Some(cHi.fold(mx)(x => if (LakeTable.utf8Compare(mx, x) > 0) mx else x))
+        } else if (blk.getRowCount > 0) keyStatsIncomplete = true
       }
-      FileStat(rows, lo, hi, cLo, cHi)
+      if (keyStatsIncomplete) FileStat(rows, lo, hi, None, None)
+      else FileStat(rows, lo, hi, cLo, cHi)
     } finally reader.close()
   }
 

@@ -366,6 +366,70 @@ class LakeSpec extends SparkSpec {
     assert(a.read().count() == 2)
   }
 
+  test("fileStat merges MULTI-row-group key stats in unsigned UTF-8 byte order") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    // block minima straddle the BMP boundary: "aﬀ…" sorts AFTER "a🙂…" in
+    // UTF-16 code units but BEFORE it in UTF-8 bytes — a Java-String merge
+    // of per-block minima returns a range inverted in the stats' collation
+    val lig = "aﬀ" + ("x" * 24)
+    val emoji = "a🙂" + ("x" * 24)
+    val p = new org.apache.hadoop.fs.Path(tmpDir("mrg-stats") + "/multi.parquet")
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { required binary conv_id (UTF8); required int64 _lsn; }")
+    val conf = spark.sessionState.newHadoopConf()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter.builder(p).withConf(conf)
+      .withRowGroupSize(1024L).withPageSize(256).withDictionaryEncoding(false)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    (0 until 300).foreach(i =>
+      writer.write(f.newGroup().append("conv_id", lig).append("_lsn", i.toLong)))
+    (0 until 300).foreach(i =>
+      writer.write(f.newGroup().append("conv_id", emoji).append("_lsn", 300L + i)))
+    writer.close()
+    // fixture sanity: the file really has row groups whose minima DIFFER
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val mins = try reader.getFooter.getBlocks.asScala.map(b =>
+        new String(b.getColumns.asScala.find(_.getPath.toDotString == "conv_id").get
+          .getStatistics.getMinBytes, java.nio.charset.StandardCharsets.UTF_8))
+      finally reader.close()
+    assert(mins.distinct.size >= 2, s"fixture needs straddling row groups, got $mins")
+    val st = ParquetStats.fileStat(p.toString, "conv_id", conf)
+    assert(st.convMin.contains(lig) && st.convMax.contains(emoji),
+      s"merged range must follow UTF-8 byte order, got ${st.convMin} .. ${st.convMax}")
+  }
+
+  test("fileStat drops the range when any data-bearing row group lacks key stats") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val p = new org.apache.hadoop.fs.Path(tmpDir("nostats") + "/partial.parquet")
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { optional binary conv_id (UTF8); required int64 _lsn; }")
+    val conf = spark.sessionState.newHadoopConf()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter.builder(p).withConf(conf)
+      .withRowGroupSize(1024L).withPageSize(256).withDictionaryEncoding(false)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    val v = "conv-" + ("y" * 30)
+    (0 until 300).foreach(i =>
+      writer.write(f.newGroup().append("conv_id", v).append("_lsn", i.toLong)))
+    // a later ALL-NULL-key group: its rows would be invisible to a range
+    // built from the stats-bearing groups — the file must opt out of
+    // pruning entirely (convMin/convMax = None → conservatively kept)
+    (0 until 300).foreach(i =>
+      writer.write(f.newGroup().append("_lsn", 300L + i)))
+    writer.close()
+    val st = ParquetStats.fileStat(p.toString, "conv_id", conf)
+    assert(st.rows == 600L)
+    assert(st.convMin.isEmpty && st.convMax.isEmpty,
+      s"partial key stats must yield no range, got ${st.convMin} .. ${st.convMax}")
+  }
+
   test("bucket weights persist in the snapshot (post-restart salting is informed)") {
     val dir = tmpDir("weights-table")
     val table = new LakeTable(spark, dir, numBuckets = 2)
@@ -378,5 +442,11 @@ class LakeSpec extends SparkSpec {
     val reopened = new LakeTable(spark, dir, numBuckets = 2)
     val w = reopened.currentSnapshot.bucketWeights
     assert(w.nonEmpty && w.values.sum == 2L, s"expected persisted weights, got $w")
+    // an EMPTY commit (no-op recovery / zero-survivor batch) must not zero
+    // the skew signal the next real batch salts with
+    reopened.commitDelta(1L, LakeTable.DeltaWrite(Map.empty, Nil, Nil))
+    assert(reopened.currentSnapshot.bucketWeights == w,
+      "empty commit must preserve bucket weights")
+    assert(reopened.currentSnapshot.applied(1L))
   }
 }
