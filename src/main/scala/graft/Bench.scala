@@ -60,6 +60,25 @@ object Bench {
     (sec, numEvents / sec)
   }
 
+  /** One full replay through the CONTINUOUS tail (ProcessingTime trigger +
+    * idle stop) into a fresh table; returns (sec, events/sec) with the
+    * trailing idle-detection window excluded from the measured time (the
+    * tail only learns the log is exhausted by waiting idleStopMs). */
+  def streamTailReplayOnce(spark: SparkSession, logRoot: String, numEvents: Long,
+      buckets: Int, opts: CdcApply.Options, maxFilesPerTrigger: Int = 32,
+      idleStopMs: Long = 2000L): (Double, Double) = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-bench-ttbl").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-bench-tck").toString
+    val table = new LakeTable(spark, tableDir, numBuckets = buckets)
+    table.create(Model.transcriptSchema)
+    val t0 = System.nanoTime()
+    graft.cdc.CdcStream.runTail(spark, logRoot, table, ckDir,
+      maxFilesPerTrigger, intervalMs = 100L, idleStopMs = idleStopMs, opts = opts)
+    val sec = math.max(0.001, (System.nanoTime() - t0) / 1e9 - idleStopMs / 1000.0)
+    deleteRec(tableDir); deleteRec(ckDir)
+    (sec, numEvents / sec)
+  }
+
   def cdcReplay(spark: SparkSession, numEvents: Long, numSegments: Int,
       buckets: Int): (Double, Double) = {
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
@@ -141,6 +160,13 @@ object Bench {
       2000000L, buckets = 32,
       CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
     results("cdc_replay_2m_stream_pipelined") = streamSec
+    // CONTINUOUS tail (ProcessingTime trigger, idle-stop) over the same
+    // log — the binlog-tail deployment; target: sustained rate ≈ the
+    // AvailableNow streaming run above
+    val (tailSec, epsTail) = streamTailReplayOnce(spark, s"$work/log-2000000-4",
+      2000000L, buckets = 32,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
+    results("cdc_replay_2m_stream_tail") = tailSec
     deleteRec(work)
 
     val loadAfter = loadAvg
@@ -149,7 +175,14 @@ object Bench {
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"cdc_events_per_sec_stream_tail":$epsTail%.0f,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}"""
+    println(line)
+    // the driver captures only a log TAIL — round 4's per-query evidence
+    // fell off the front of the artifact. The file copy is always complete.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

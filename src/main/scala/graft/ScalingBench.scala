@@ -88,16 +88,17 @@ object ScalingBench {
       val segments = Bench.genLog(s, work, numEvents, 8)
       val logRoot = s"$work/log-$numEvents-8"
       def run(): (Double, Double) =
-        if (streaming) Bench.streamReplayOnce(s, logRoot, numEvents, buckets, opts)
+        if (tail) Bench.streamTailReplayOnce(s, logRoot, numEvents, buckets, opts)
+        else if (streaming) Bench.streamReplayOnce(s, logRoot, numEvents, buckets, opts)
         else Bench.replayOnce(s, segments, numEvents, buckets, opts)
       if (warm) run()
       // straggler instrumentation (GRAFT_STAGE_STATS=1): per-stage task
       // max/mean over the measured replay — the write-stage tail is the
       // in-JVM scaling limiter round 2 identified; target max/mean ≤ 2
-      val tail = if (sys.env.get("GRAFT_STAGE_STATS").contains("1"))
+      val stageStats = if (sys.env.get("GRAFT_STAGE_STATS").contains("1"))
         Some(new StageTailListener(s)) else None
       val r = run()
-      tail.foreach(_.report(cores))
+      stageStats.foreach(_.report(cores))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       r

@@ -64,6 +64,10 @@ final class CdcPipeline(
     * lets tests assert the overlap actually engaged. */
   def pipelinedCount: Int = pipelined.get()
 
+  /** Test seam: runs at the head of every async write task, so a spec can
+    * hold a write in flight across an [[abort]] deterministically. */
+  private[cdc] var testWriteHook: () => Unit = () => ()
+
   /** foreachBatch entry point: resolve files, dispatch write, return.
     * Blocks only when `depth` batches are already in flight (backpressure
     * bounds the uncommitted-write set). */
@@ -99,6 +103,7 @@ final class CdcPipeline(
     results.put(batchId, fut)
     writePool.execute(() => fut.complete(Try {
       val t0 = System.nanoTime()
+      testWriteHook()
       val ev = spark.read.schema(Model.changeEventSchema).parquet(files: _*)
       opts.deadLetterDir.foreach(CdcApply.writeDeadLetters(ev, batchId, _))
       val prepared = CdcApply.prepareBatch(ev, opts)
@@ -146,13 +151,19 @@ final class CdcPipeline(
   def abort(): Unit = {
     writePool.shutdownNow()
     committer.shutdownNow()
-    // release write results that already landed so their files are
-    // orphan-GC-eligible (a real crash has no such courtesy — GC handles it)
+    // release write results so their files are orphan-GC-eligible (a real
+    // crash has no such courtesy — the in-memory pending set dies with the
+    // process and GC handles the files). A write STILL RUNNING at this
+    // sweep completes after it — whenComplete fires on landing and
+    // unregisters then, so an abort-then-continue session cannot
+    // accumulate unreclaimable pendingWriteFiles residue (abandonDelta is
+    // a set-remove: releasing a future the committer also resolved is a
+    // no-op).
     results.values.asScala.foreach { f =>
-      Option(f.getNow(null)).foreach {
+      f.whenComplete((r, _) => r match {
         case Success((w, _)) => table.abandonDelta(w)
         case _ => ()
-      }
+      })
     }
     results.clear()
   }

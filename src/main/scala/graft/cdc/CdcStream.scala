@@ -83,6 +83,124 @@ object CdcStream {
     (q, pipeline)
   }
 
+  /** Result of a [[runTail]] session: how many times the query was
+    * restarted with a re-suggested `maxFilesPerTrigger`, and the epoch-ms
+    * of the last data-bearing micro-batch (throughput accounting can
+    * exclude the trailing idle window). */
+  final case class TailRun(restarts: Int, lastDataMs: Long)
+
+  /** Start the pipelined sink on a CONTINUOUS ProcessingTime trigger — the
+    * binlog-tail deployment of the north_star (round-4 verdict item 2:
+    * every prior streaming path was run-to-completion AvailableNow).
+    * Segments arriving while the query runs are picked up at the next
+    * trigger; exactly-once across kill/restart is unchanged (same
+    * CdcPipeline source-log recovery journal — recovery runs here, before
+    * the query starts). Caller owns `pipeline.close()` after stopping the
+    * query; [[runTail]] wraps the whole lifecycle. */
+  def startTailPipelined(
+      spark: SparkSession,
+      logDir: String,
+      table: LakeTable,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8,
+      intervalMs: Long = 500L,
+      opts: CdcApply.Options = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4))
+      : (StreamingQuery, CdcPipeline) = {
+    CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
+    val pipeline = new CdcPipeline(spark, table, checkpointDir, opts)
+    val q = source(spark, logDir, maxFilesPerTrigger).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        pipeline.submit(batch, batchId)
+        ()
+      }
+      .start()
+    (q, pipeline)
+  }
+
+  /** Drive a continuous tail session. Returns once the source has produced
+    * no data for `idleStopMs` (pass 0 to run until the thread is
+    * interrupted — the months-long deployment; tests and replay benchmarks
+    * use a finite idle stop). Each stop/restart drains the pipeline
+    * (ordered commits complete) before the next query starts, so the
+    * session is exactly-once end to end.
+    *
+    * `refreshEveryMs > 0`: every such interval the [[suggestMaxFilesPerTrigger]]
+    * sizing helper is re-consulted against `refreshTargetEvents`; when the
+    * suggestion differs from the running value by ≥2× the query is
+    * RESTARTED with it — checkpointed offsets make the restart seamless.
+    * This applies the round-4 operational rule (micro-batches must grow
+    * with table state or fixed cost dominates) DURING the tail, instead of
+    * waiting for an operator to notice throughput decay. */
+  def runTail(spark: SparkSession, logDir: String, table: LakeTable,
+      checkpointDir: String, maxFilesPerTrigger: Int = 8,
+      intervalMs: Long = 500L, idleStopMs: Long = 5000L,
+      refreshEveryMs: Long = 0L, refreshTargetEvents: Long = 10000000L,
+      opts: CdcApply.Options = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4))
+      : TailRun = {
+    var mft = math.max(1, maxFilesPerTrigger)
+    var restarts = 0
+    var lastData = System.currentTimeMillis()
+    var lastBatch = -1L
+    var done = false
+    var sawCancel = false
+    while (!done) {
+      val (q, pipeline) = startTailPipelined(spark, logDir, table, checkpointDir,
+        mft, intervalMs, opts)
+      var restart = false
+      try {
+        var lastRefresh = System.currentTimeMillis()
+        while (!done && !restart) {
+          Thread.sleep(math.min(250L, math.max(50L, intervalMs)))
+          val now = System.currentTimeMillis()
+          val p = q.lastProgress
+          if (p != null && p.numInputRows > 0 && p.batchId != lastBatch) {
+            lastBatch = p.batchId
+            lastData = now
+          }
+          if (idleStopMs > 0 && now - lastData >= idleStopMs) done = true
+          if (!done && refreshEveryMs > 0 && now - lastRefresh >= refreshEveryMs) {
+            lastRefresh = now
+            val sug = suggestMaxFilesPerTrigger(spark, logDir, refreshTargetEvents)
+            if (sug >= 2 * mft || 2 * sug <= mft) {
+              mft = sug
+              restart = true
+              restarts += 1
+            }
+          }
+        }
+      } finally {
+        // stopping a ProcessingTime query can CANCEL an in-flight batch's
+        // jobs — that is the expected kill shape of a tail restart, not a
+        // failure: the batch stays in the source-log journal and the next
+        // startTailPipelined's recoverPending re-applies it exactly-once.
+        // Anything other than a cancellation still fails loudly.
+        try { q.stop(); q.awaitTermination() }
+        catch { case e: Throwable if isCancellation(e) => sawCancel = true }
+        try pipeline.close() // drain ordered commits before any restart
+        catch { case e: Throwable if isCancellation(e) => sawCancel = true }
+      }
+    }
+    if (sawCancel) CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
+    TailRun(restarts, lastData)
+  }
+
+  /** True when the throwable chain is a stop-induced Spark job/query
+    * cancellation (benign during a tail stop/restart). */
+  private def isCancellation(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var hops = 0
+    while (c != null && hops < 10) {
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("SPARK_JOB_CANCELLED") || m.contains("cancelled") ||
+        m.contains("was stopped")) return true
+      c = c.getCause
+      hops += 1
+    }
+    false
+  }
+
   /** Pick `maxFilesPerTrigger` so micro-batches hold ≈ `targetEvents`
     * rows, from the parquet footers of a few log files (no data pages
     * read). The 10^8 measurement (BASELINE.md round 4) showed per-batch

@@ -89,6 +89,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     m.values.flatten.foreach(pendingWriteFiles.add)
   private def releasePending(m: Map[Int, Seq[String]]): Unit =
     m.values.flatten.foreach(pendingWriteFiles.remove)
+  /** Files currently registered as pending (tests: abort-residue checks). */
+  private[graft] def pendingFileCount: Int = pendingWriteFiles.size()
 
   /** Materialize-and-CLOSE wrappers around Files.list/walk — the raw
     * streams hold a file descriptor until GC, which leaks real FDs over

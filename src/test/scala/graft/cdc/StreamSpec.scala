@@ -147,6 +147,146 @@ class StreamSpec extends SparkSpec {
     assert(applied.size == applied.toSeq.distinct.size, "no double apply")
   }
 
+  test("abort with a write in flight: late-landing files become orphan-GC-eligible") {
+    val cfg = ChangeLogGen.Config(numEvents = 8000, numConversations = 40, maxTurns = 16)
+    val logDir = tmpDir("abortw-log")
+    val ckDir = tmpDir("abortw-ck")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 4)
+    val table = new LakeTable(spark, tmpDir("abortw-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    val opts = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4, compactEvery = 100)
+
+    // build the pipeline OURSELVES (not via startPipelined) so the write
+    // hook is installed before the query can dispatch its first batch
+    val pipeline = new CdcPipeline(spark, table, ckDir, opts)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var release = false
+    pipeline.testWriteHook = () => {
+      started.countDown()
+      // survive the abort's interrupt: the point is a write that COMPLETES
+      // after the abort's results sweep
+      while (!release) { try Thread.sleep(20) catch { case _: InterruptedException => () } }
+    }
+    val q = spark.readStream.schema(Model.changeEventSchema)
+      .option("maxFilesPerTrigger", 2).option("recursiveFileLookup", "true")
+      .parquet(logDir)
+      .writeStream.option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipeline.submit(batch, id); ()
+      }
+      .start()
+    assert(started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "a write must be in flight")
+    pipeline.abort() // sweep runs while the write is still blocked
+    release = true   // NOW the write lands — after the sweep
+    try { q.stop(); q.awaitTermination() }
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    // the late completion must unregister its files (round-4 "what's wrong"
+    // #1: they used to stay pending for the process lifetime, permanently
+    // shielded from orphan GC)
+    var waited = 0
+    while (table.pendingFileCount > 0 && waited < 600) { Thread.sleep(100); waited += 1 }
+    assert(table.pendingFileCount == 0,
+      s"no pendingWriteFiles residue after abort (still ${table.pendingFileCount})")
+
+    // and the restart recovers everything exactly-once as usual
+    CdcStream.runOnce(spark, logDir, table, ckDir, maxFilesPerTrigger = 2, opts)
+    val events = ChangeLogGen.events(spark, cfg).collect().toSeq.map { r =>
+      Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
+    }
+    val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text, e.tool)) }
+    assert(finalStateOf(table) == expect, "state after in-flight abort + restart")
+  }
+
+  import scala.jdk.CollectionConverters._
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(s)
+    try walk.iterator().asScala.foreach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  private def oracleOf(dfs: org.apache.spark.sql.DataFrame*)
+      : Map[(String, Int), (String, String, Option[String])] = {
+    val events = dfs.flatMap(_.collect().toSeq).map { r =>
+      Oracle.Ev(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getString(6),
+        if (r.schema.fieldNames.contains("tool")) Option(r.getString(r.fieldIndex("tool"))) else None)
+    }
+    Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text, e.tool)) }
+  }
+
+  test("ProcessingTime tail: data arriving WHILE the query runs is applied; kill during idle + restart is exactly-once") {
+    val cfg = ChangeLogGen.Config(numEvents = 12000, numConversations = 60, maxTurns = 16)
+    val staging = tmpDir("tail-staging")
+    val liveDir = tmpDir("tail-live")
+    val ckDir = tmpDir("tail-ck")
+    val segments = ChangeLogGen.writeLog(spark, staging, cfg, numSegments = 6)
+    // first half of the log is present at start; the rest lands LIVE
+    segments.take(3).foreach(s =>
+      copyDir(s, s"$liveDir/${java.nio.file.Paths.get(s).getFileName}"))
+
+    val table = new LakeTable(spark, tmpDir("tail-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    val opts = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4, compactEvery = 100)
+    val (q, pipeline) = CdcStream.startTailPipelined(spark, liveDir, table, ckDir,
+      maxFilesPerTrigger = 4, intervalMs = 100L, opts = opts)
+    try {
+      def stateIs(want: Map[(String, Int), (String, String, Option[String])]): Boolean = {
+        var waited = 0
+        while (finalStateOf(table) != want && waited < 600) { Thread.sleep(100); waited += 1 }
+        finalStateOf(table) == want
+      }
+      val firstHalf = oracleOf(segments.take(3).map(spark.read.parquet(_)): _*)
+      assert(stateIs(firstHalf), "initial segments applied by the running tail")
+      // now deliver the rest while the query is RUNNING — no restart
+      segments.drop(3).foreach(s =>
+        copyDir(s, s"$liveDir/${java.nio.file.Paths.get(s).getFileName}"))
+      val full = oracleOf(segments.map(spark.read.parquet(_)): _*)
+      assert(stateIs(full), "live-arriving segments applied by the same query")
+    } finally {
+      // kill DURING IDLE without draining (simulated crash while tailing)
+      try { q.stop(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      pipeline.abort()
+    }
+    // restart the tail over the same checkpoint: exactly-once, state intact
+    val r = CdcStream.runTail(spark, liveDir, table, ckDir, maxFilesPerTrigger = 4,
+      intervalMs = 100L, idleStopMs = 1500L, opts = opts)
+    assert(r.restarts == 0)
+    assert(finalStateOf(table) == oracleOf(segments.map(spark.read.parquet(_)): _*),
+      "state after idle kill + tail restart")
+    val applied = table.currentSnapshot.appliedBatchIds
+    assert(applied.size == applied.toSeq.distinct.size, "no double apply")
+  }
+
+  test("tail refresh: a badly-sized maxFilesPerTrigger is re-suggested and the query restarted in-session") {
+    val cfg = ChangeLogGen.Config(numEvents = 8000, numConversations = 40, maxTurns = 16)
+    val logDir = tmpDir("tailref-log")
+    val ckDir = tmpDir("tailref-ck")
+    ChangeLogGen.writeLog(spark, logDir, cfg, numSegments = 4, filesPerSegment = 8)
+    val table = new LakeTable(spark, tmpDir("tailref-table"), numBuckets = 4)
+    table.create(Model.transcriptSchema)
+    val opts = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4, compactEvery = 100)
+    // start at mft=1000 (absurd for ~250-row files targeting 1000 rows per
+    // batch); the refresh must converge it and restart the query mid-session
+    val r = CdcStream.runTail(spark, logDir, table, ckDir, maxFilesPerTrigger = 1000,
+      intervalMs = 100L, idleStopMs = 2500L, refreshEveryMs = 300L,
+      refreshTargetEvents = 1000L, opts = opts)
+    assert(r.restarts >= 1, "sizing refresh must have restarted the query")
+    assert(finalStateOf(table) ==
+      oracleOf(spark.read.schema(Model.changeEventSchema)
+        .option("recursiveFileLookup", "true").parquet(logDir)),
+      "state correct across in-session restarts")
+  }
+
   test("suggestMaxFilesPerTrigger sizes micro-batches from footer row counts") {
     val cfg = ChangeLogGen.Config(numEvents = 8000, numConversations = 40, maxTurns = 16)
     val logDir = tmpDir("mft-log")
