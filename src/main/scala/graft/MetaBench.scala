@@ -1,0 +1,108 @@
+package graft
+
+import graft.lake.LakeTable
+import graft.model.Model
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Driver-side commit-metadata benchmark for the months-long 10^10-event
+ * regime: fabricated NARROW commits (pure `commitDelta` driver calls, no
+ * Spark jobs) against a table whose file count keeps growing, measuring the
+ * snapshot + manifest byte volume each commit actually writes.
+ *
+ * What it demonstrates (round-4 verdict item 1): with per-bucket manifest
+ * files reused across commits, a commit's metadata IO is O(touched
+ * buckets' state) — the per-commit byte volume stays flat as the TABLE
+ * grows, while the pre-round-5 inline format (full file lists + key
+ * ranges re-serialized into every snapshot) grows linearly with total
+ * files. The inline-equivalent volume is computed (not written) from the
+ * same snapshots for comparison.
+ *
+ * Usage: sbt "runMain graft.MetaBench [numCommits] [numBuckets] [touchedPerCommit]"
+ * Prints one JSON line; also appended to target/metabench.json.
+ */
+object MetaBench {
+
+  def main(args: Array[String]): Unit = {
+    val numCommits = args.headOption.map(_.toInt).getOrElse(10000)
+    val numBuckets = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val touched = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-metabench").toString
+    val table = new LakeTable(spark, dir, numBuckets = numBuckets)
+    table.create(Model.transcriptSchema)
+
+    def dirBytes(sub: String): Long = {
+      val p = java.nio.file.Paths.get(dir, sub)
+      if (!java.nio.file.Files.exists(p)) return 0L
+      val st = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally st.close()
+    }
+    def metaBytes: Long = dirBytes("snapshots") + dirBytes("manifests")
+    /** Bytes the inline format would serialize for this snapshot: every
+      * file name in every bucket's base+delta list, plus every range
+      * entry, re-written on EVERY commit. */
+    def inlineEquivBytes: Long = {
+      val s = table.currentSnapshot
+      val nameBytes = (s.files.values.flatten ++ s.deltas.values.flatten)
+        .map(_.length + 8L).sum
+      val rangeBytes = s.fileRanges.map { case (f, (lo, hi)) =>
+        f.length + lo.length + hi.length + 12L }.sum
+      nameBytes + rangeBytes + 512L // fixed fields
+    }
+
+    def dw(i: Long) = {
+      val bs = (0 until touched).map(k => ((i * touched + k) % numBuckets).toInt)
+      val fs = bs.map(b => b -> Seq(f"data/fab-$i%08d-$b.parquet"))
+      LakeTable.DeltaWrite(fs.toMap,
+        bs.map(b => (b, 10L, i, i)),
+        Nil,
+        fs.flatMap { case (_, names) =>
+          names.map(_ -> (f"conv-$i%07d", f"conv-${i + 5}%07d")) }.toMap)
+    }
+
+    val window = math.max(1, numCommits / 10)
+    var lastBytes = metaBytes
+    var lastT = System.nanoTime()
+    val rows = new scala.collection.mutable.ArrayBuffer[String]()
+    var firstPerCommit = -1.0
+    var lastPerCommit = -1.0
+    var firstInline = -1.0
+    var lastInline = -1.0
+    (0L until numCommits.toLong).foreach { i =>
+      table.commitDelta(i, dw(i))
+      if ((i + 1) % window == 0) {
+        val nowBytes = metaBytes
+        val perCommit = (nowBytes - lastBytes).toDouble / window
+        val inline = inlineEquivBytes.toDouble
+        val ms = (System.nanoTime() - lastT) / 1e6
+        rows += f"""{"commits":${i + 1},"meta_bytes_per_commit":$perCommit%.0f,"inline_equiv_bytes_per_commit":$inline%.0f,"window_ms":$ms%.0f}"""
+        if (firstPerCommit < 0) { firstPerCommit = perCommit; firstInline = inline }
+        lastPerCommit = perCommit; lastInline = inline
+        lastBytes = nowBytes; lastT = System.nanoTime()
+      }
+    }
+    val s = table.currentSnapshot
+    val totalFiles = s.files.values.map(_.size).sum + s.deltas.values.map(_.size).sum
+    // growth ratio of the per-commit write volume across a 10x table-size
+    // increase; inline grows ~linearly (ratio ≈ 10), manifests stay O(touched)
+    val line =
+      f"""{"bench":"meta","commits":$numCommits,"buckets":$numBuckets,"touched_per_commit":$touched,"total_files":$totalFiles,"windows":[${rows.mkString(",")}],"manifest_growth_ratio":${lastPerCommit / math.max(1.0, firstPerCommit)}%.2f,"inline_growth_ratio":${lastInline / math.max(1.0, firstInline)}%.2f,"final_meta_bytes_per_commit":$lastPerCommit%.0f,"final_inline_equiv_bytes_per_commit":$lastInline%.0f}"""
+    println(line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/metabench.json"),
+        line + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => }
+    Bench.deleteRec(dir)
+    spark.stop()
+  }
+}

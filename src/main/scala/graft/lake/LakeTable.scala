@@ -108,8 +108,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
 
   def exists: Boolean = Files.exists(latestPtr)
 
+  private val manifestsDir: Path = rootPath.resolve("manifests")
+
   def create(schema: StructType): Unit = {
     Files.createDirectories(snapsDir)
+    Files.createDirectories(manifestsDir)
     Files.createDirectories(rootPath.resolve("data"))
     Files.createDirectories(rootPath.resolve("lineage"))
     commit(Snapshot(0L, withMeta(schema), Map.empty, -1L, Set.empty,
@@ -137,6 +140,53 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       e.getKey.toInt -> e.getValue.asInstanceOf[ArrayNode].asScala.map(_.asText).toSeq
     }.toMap).getOrElse(Map.empty)
 
+  private def readRangeMap(node: JsonNode, field: String): Map[String, (String, String)] =
+    Option(node.get(field)).map(_.asInstanceOf[ObjectNode]
+      .properties().asScala.map { e =>
+        val arr = e.getValue.asInstanceOf[ArrayNode]
+        e.getKey -> (arr.get(0).asText, arr.get(1).asText)
+      }.toMap).getOrElse(Map.empty[String, (String, String)])
+
+  // ---- per-bucket manifest files ------------------------------------------
+  //
+  // The snapshot JSON does NOT inline file lists: each data-bearing bucket's
+  // (base files, delta files, per-file key ranges) live in an immutable
+  // manifest file under manifests/, and the snapshot stores only
+  // bucket -> manifest-name. A commit rewrites manifests ONLY for buckets
+  // whose state changed and reuses the parent's names for the rest — commit
+  // metadata IO is O(touched buckets), not O(total files), which is the
+  // difference between a bounded driver floor and megabytes of re-serialized
+  // unchanged metadata per batch at 10^5 commits (the Iceberg
+  // manifest-reuse argument; round-4 verdict item 1).
+
+  /** Parsed-manifest cache (manifest files are immutable, so entries can
+    * never go stale; bounded by pruning to the live name set at commit). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BucketManifest]()
+
+  private def readManifest(name: String): BucketManifest =
+    manifestCache.computeIfAbsent(name, n => {
+      val node = mapper.readTree(Files.readString(manifestsDir.resolve(n)))
+      def arr(f: String): Seq[String] = Option(node.get(f))
+        .map(_.asInstanceOf[ArrayNode].asScala.map(_.asText).toSeq).getOrElse(Nil)
+      BucketManifest(arr("files"), arr("deltas"), readRangeMap(node, "ranges"))
+    })
+
+  private def writeManifest(name: String, m: BucketManifest): Unit = {
+    Files.createDirectories(manifestsDir) // legacy tables predate the dir
+    val node = mapper.createObjectNode()
+    val fa = node.putArray("files"); m.files.foreach(fa.add)
+    val da = node.putArray("deltas"); m.deltas.foreach(da.add)
+    val rn = node.putObject("ranges")
+    m.ranges.foreach { case (f, (lo, hi)) =>
+      val a = rn.putArray(f); a.add(lo); a.add(hi)
+    }
+    // visible to readers only once a committed snapshot references it (the
+    // pointer flip is the publication barrier), so a plain write suffices
+    Files.writeString(manifestsDir.resolve(name), mapper.writeValueAsString(node))
+    manifestCache.put(name, m)
+  }
+
   private def readSnapshot(p: Path): Snapshot = {
     val node = mapper.readTree(Files.readString(p))
     val schema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
@@ -144,14 +194,22 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val weights = Option(node.get("bucketWeights")).map(_.asInstanceOf[ObjectNode]
       .properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong).toMap)
       .getOrElse(Map.empty[Int, Long])
-    val ranges = Option(node.get("fileRanges")).map(_.asInstanceOf[ObjectNode]
-      .properties().asScala.map { e =>
-        val arr = e.getValue.asInstanceOf[ArrayNode]
-        e.getKey -> (arr.get(0).asText, arr.get(1).asText)
-      }.toMap).getOrElse(Map.empty[String, (String, String)])
-    val base = Snapshot(node.get("version").asLong, schema,
-      readFileMap(node, "files"), -1L, Set.empty, readFileMap(node, "deltas"),
-      nb, weights, ranges)
+    val base = Option(node.get("manifests")) match {
+      case Some(mn) => // current format: per-bucket manifest references
+        val names = mn.asInstanceOf[ObjectNode].properties().asScala
+          .map(e => e.getKey.toInt -> e.getValue.asText).toMap
+        val ms = names.map { case (b, n) => b -> readManifest(n) }
+        Snapshot(node.get("version").asLong, schema,
+          ms.collect { case (b, m) if m.files.nonEmpty => b -> m.files },
+          -1L, Set.empty,
+          ms.collect { case (b, m) if m.deltas.nonEmpty => b -> m.deltas },
+          nb, weights,
+          ms.values.flatMap(_.ranges).toMap, names)
+      case None => // legacy inline format
+        Snapshot(node.get("version").asLong, schema,
+          readFileMap(node, "files"), -1L, Set.empty, readFileMap(node, "deltas"),
+          nb, weights, readRangeMap(node, "fileRanges"))
+    }
     // current format: watermark + exceptions; legacy format: full id array
     Option(node.get("appliedWatermark")) match {
       case Some(wm) =>
@@ -172,28 +230,38 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val live = (s0.files.values.flatten ++ s0.deltas.values.flatten).toSet
     val s = if (s0.fileRanges.keysIterator.forall(live.contains)) s0
       else s0.copy(fileRanges = s0.fileRanges.view.filterKeys(live.contains).toMap)
+    // per-bucket manifests: rewrite only buckets whose state changed from
+    // what their inherited manifest (the parent snapshot's) encodes
+    val buckets = (s.files.keySet ++ s.deltas.keySet).filter(b =>
+      s.files.getOrElse(b, Nil).nonEmpty || s.deltas.getOrElse(b, Nil).nonEmpty)
+    val bucketOfFile: Map[String, Int] =
+      (s.files.toSeq ++ s.deltas.toSeq).flatMap { case (b, fs) => fs.map(_ -> b) }.toMap
+    val rangesByBucket: Map[Int, Map[String, (String, String)]] =
+      s.fileRanges.groupBy { case (f, _) => bucketOfFile.getOrElse(f, -1) }
+    val manifestNames2: Map[Int, String] = buckets.toSeq.sorted.map { b =>
+      val desired = BucketManifest(s.files.getOrElse(b, Nil), s.deltas.getOrElse(b, Nil),
+        rangesByBucket.getOrElse(b, Map.empty))
+      val inherited = s.manifestNames.get(b)
+        .flatMap(n => scala.util.Try(readManifest(n)).toOption.map(n -> _))
+      inherited match {
+        case Some((n, m)) if m == desired => b -> n // unchanged bucket: reuse
+        case _ =>
+          val name = f"m$b%05d-v${s.version}%08d-${UUID.randomUUID().toString.take(8)}.json"
+          writeManifest(name, desired)
+          b -> name
+      }
+    }.toMap
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schema", s.schema.json)
     node.put("numBuckets", s.numBuckets)
-    def putFiles(field: String, m: Map[Int, Seq[String]]): Unit = {
-      val fn = node.putObject(field)
-      m.foreach { case (b, fs) =>
-        val arr = fn.putArray(b.toString)
-        fs.foreach(arr.add)
-      }
-    }
-    putFiles("files", s.files)
-    putFiles("deltas", s.deltas)
+    val mn = node.putObject("manifests")
+    manifestNames2.toSeq.sortBy(_._1).foreach { case (b, n) => mn.put(b.toString, n) }
     node.put("appliedWatermark", s.appliedWatermark)
     val exc = node.putArray("appliedExceptions")
     s.appliedExceptions.toSeq.sorted.foreach(exc.add)
     val wn = node.putObject("bucketWeights")
     s.bucketWeights.foreach { case (b, w) => wn.put(b.toString, w) }
-    val rn = node.putObject("fileRanges")
-    s.fileRanges.foreach { case (f, (lo, hi)) =>
-      val arr = rn.putArray(f); arr.add(lo); arr.add(hi)
-    }
     // the snapshot file name IS the optimistic-concurrency token: exactly
     // one committer can create `v<N>.json`, so a second process committing
     // against the same parent version fails LOUDLY here instead of silently
@@ -218,7 +286,14 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val tmp = rootPath.resolve(s"_latest.tmp.${UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, name)
     Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    cachedSnap = (name, s)
+    cachedSnap = (name, s.copy(manifestNames = manifestNames2))
+    // bound the parsed-manifest cache: keep the live name set (evicted
+    // history re-reads its manifest file on demand — time travel still works)
+    if (manifestCache.size > 4 * s.numBuckets + 64) {
+      val keep = manifestNames2.values.toSet
+      manifestCache.keySet.asScala.filterNot(keep.contains)
+        .foreach(manifestCache.remove)
+    }
     // auto-maintenance: amortized snapshot/orphan GC (commitLock is
     // reentrant, so calling expireSnapshots from inside commit is safe)
     if (autoExpireEvery > 0 && s.version > 0) {
@@ -847,14 +922,26 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         .sortBy(_.getFileName.toString)
       // version prefix sorts lexicographically; never expire the pointer target
       val retained = (all.takeRight(keep).map(_.getFileName.toString) :+ current).toSet
-      val referenced: Set[String] = all
+      val retainedSnaps = all
         .filter(p => retained.contains(p.getFileName.toString))
-        .flatMap { p =>
-          val s = readSnapshot(p)
-          (s.files.values.flatten ++ s.deltas.values.flatten)
-        }.toSet ++ pendingWriteFiles.asScala // in-flight pipelined writes
+        .map(readSnapshot)
+      val referenced: Set[String] = retainedSnaps
+        .flatMap(s => s.files.values.flatten ++ s.deltas.values.flatten)
+        .toSet ++ pendingWriteFiles.asScala // in-flight pipelined writes
       all.filterNot(p => retained.contains(p.getFileName.toString))
         .foreach(Files.deleteIfExists(_))
+      // manifest GC: a manifest unreferenced by every retained snapshot is
+      // unreachable (snapshots are the only pointers into manifests/)
+      val referencedManifests = retainedSnaps.flatMap(_.manifestNames.values).toSet
+      if (Files.exists(manifestsDir)) {
+        listed(manifestsDir)
+          .filter(p => p.getFileName.toString.endsWith(".json"))
+          .filterNot(p => referencedManifests.contains(p.getFileName.toString))
+          .foreach { p =>
+            manifestCache.remove(p.getFileName.toString)
+            Files.deleteIfExists(p)
+          }
+      }
       val cutoff = System.currentTimeMillis() - graceMs
       val dataDir = rootPath.resolve("data")
       if (Files.exists(dataDir)) {
@@ -940,7 +1027,12 @@ object LakeTable {
       // the Iceberg-manifest-column-stats analog driving driver-side data
       // skipping on point/range reads; pruned to live files at each commit.
       // A file without an entry (legacy snapshots) is simply never pruned.
-      fileRanges: Map[String, (String, String)] = Map.empty) {
+      fileRanges: Map[String, (String, String)] = Map.empty,
+      // bucket -> manifest file currently encoding that bucket's state
+      // (bookkeeping for manifest reuse across commits; not itself
+      // serialized — the snapshot JSON's "manifests" object is built from
+      // the post-commit value)
+      manifestNames: Map[Int, String] = Map.empty) {
 
     def applied(batchId: Long): Boolean =
       batchId <= appliedWatermark || appliedExceptions.contains(batchId)
@@ -964,6 +1056,13 @@ object LakeTable {
   final case class DeltaWrite(files: Map[Int, Seq[String]],
       stats: Seq[(Int, Long, Long, Long)], newColumns: Seq[StructField],
       ranges: Map[String, (String, String)] = Map.empty)
+
+  /** One bucket's state as serialized in a per-bucket manifest file: base
+    * files, outstanding delta files, and the per-file key ranges of both.
+    * Manifest files are immutable; a commit reuses the parent's manifest
+    * for every bucket whose state is unchanged. */
+  private[lake] final case class BucketManifest(files: Seq[String],
+      deltas: Seq[String], ranges: Map[String, (String, String)])
 
   private val mapper = new ObjectMapper()
   val metaColNames: Set[String] = Set("_lsn", "_op", "_bucket")

@@ -366,6 +366,54 @@ class LakeSpec extends SparkSpec {
     assert(a.read().count() == 2)
   }
 
+  test("commit metadata IO is O(touched buckets): unchanged buckets reuse manifest files") {
+    val dir = tmpDir("manifest-table")
+    val table = new LakeTable(spark, dir, numBuckets = 64)
+    table.create(Model.transcriptSchema)
+    // fabricated driver-only delta commits (commitDelta never touches the
+    // data files), each touching exactly TWO of 64 buckets — the
+    // narrow-batch shape of a months-long stream over a large table
+    def dw(i: Long) = {
+      val b1 = ((i * 2) % 64).toInt; val b2 = ((i * 2 + 1) % 64).toInt
+      val f1 = s"data/fab-$i-a.parquet"; val f2 = s"data/fab-$i-b.parquet"
+      LakeTable.DeltaWrite(Map(b1 -> Seq(f1), b2 -> Seq(f2)),
+        Seq((b1, 10L, i, i), (b2, 10L, i, i)), Nil,
+        Map(f1 -> ("conv-a", "conv-b"), f2 -> ("conv-c", "conv-d")))
+    }
+    (0L until 640L).foreach(i => table.commitDelta(i, dw(i)))
+    // the table now references 1280 files across 64 buckets; ONE more
+    // narrow commit must write metadata for its 2 touched buckets only
+    def metaFiles(): Map[String, Long] = {
+      (java.nio.file.Files.list(java.nio.file.Paths.get(dir, "snapshots")).iterator().asScala ++
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir, "manifests")).iterator().asScala)
+        .filter(_.toString.endsWith(".json"))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val before = metaFiles()
+    val namesBefore = table.currentSnapshot.manifestNames
+    table.commitDelta(640L, dw(640L))
+    val after = metaFiles()
+    val created = after.view.filterKeys(!before.contains(_)).toMap
+    val newManifests = created.keys.count(_.contains("/manifests/"))
+    assert(newManifests == 2,
+      s"narrow commit must rewrite exactly its 2 touched buckets' manifests, wrote $newManifests")
+    val namesAfter = table.currentSnapshot.manifestNames
+    val touched = Set(((640L * 2) % 64).toInt, ((640L * 2 + 1) % 64).toInt)
+    (0 until 64).filterNot(touched.contains).foreach { b =>
+      assert(namesAfter.get(b) == namesBefore.get(b), s"bucket $b manifest must be reused")
+    }
+    // per-commit metadata byte volume is bounded by the touched buckets'
+    // state, far below re-serializing all 1280 file entries + ranges
+    val newBytes = created.values.sum
+    assert(newBytes < 16 * 1024, s"commit wrote $newBytes metadata bytes")
+    // cold read-back (fresh table object, empty caches) reconstructs the
+    // exact same state from the manifest-referencing snapshot format
+    val reopened = new LakeTable(spark, dir, numBuckets = 64)
+    val a = table.currentSnapshot; val b = reopened.currentSnapshot
+    assert(b.files == a.files && b.deltas == a.deltas && b.fileRanges == a.fileRanges)
+    assert(b.appliedWatermark == 640L)
+  }
+
   test("fileStat merges MULTI-row-group key stats in unsigned UTF-8 byte order") {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
