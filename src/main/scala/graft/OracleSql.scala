@@ -196,18 +196,18 @@ object OracleSql {
   }
 
   /** q_emb_ann_ivf: the IVF index emulated end-to-end — SEEDS = the
-    * `nlist` smallest-id vectors (rank-1 as cell id), refined by one Lloyd
-    * pass over the `sampleN` smallest-id vectors (each sample to its
-    * max-cosine seed, ties → lowest cell; per-dimension mean accumulated
-    * in vec_id order — the exact sequential-double chain of
-    * VectorOps.ivfCentroidsRefined; empty cells keep the seed). Every
-    * vector is then assigned to its max-cosine refined centroid, the
-    * min-vec_id query probes its `nprobe` nearest cells, candidates ranked
-    * by exact cosine. All cosines are j-ordered left folds (bit-identical
-    * to the engine's sequential double accumulation), so refinement,
-    * assignment and ranking agree exactly. */
+    * `nlist` smallest-id vectors (rank-1 as cell id), refined by `iters`
+    * Lloyd passes over the `sampleN` smallest-id vectors (each sample to
+    * its max-cosine centroid, ties → lowest cell; per-dimension mean
+    * accumulated in vec_id order — the exact sequential-double chain of
+    * VectorOps.ivfCentroidsRefined; empty cells keep their PREVIOUS
+    * centroid). Every vector is then assigned to its max-cosine refined
+    * centroid, the min-vec_id query probes its `nprobe` nearest cells,
+    * candidates ranked by exact cosine. All cosines are j-ordered left
+    * folds (bit-identical to the engine's sequential double accumulation),
+    * so every refinement iteration, assignment and ranking agree exactly. */
   def annIvf(nlist: Int = 16, nprobe: Int = 4, k: Int = 10,
-      sampleN: Int = 256): String = {
+      sampleN: Int = 256, iters: Int = 1): String = {
     def fold(lenExpr: String, body: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, $lenExpr + 1), i -> $body)), (x, y) -> x + y)"
     def cosOf(a: String, b: String) = {
@@ -222,21 +222,26 @@ object OracleSql {
     val seeds = s"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, " +
       s"CAST(embedding AS DOUBLE[]) AS cv " +
       s"FROM (SELECT vec_id, embedding FROM ($embSrc) ORDER BY vec_id LIMIT $nlist)"
-    // one Lloyd pass over the id-ordered sample: assign → per-cell ordered
-    // per-dimension mean (left fold over list(v ORDER BY vec_id), the same
-    // addition chain as the Scala refinement); empty cells keep the seed
+    // `iters` Lloyd passes over the id-ordered sample: assign → per-cell
+    // ordered per-dimension mean (left fold over list(v ORDER BY vec_id),
+    // the same addition chain as the Scala refinement); empty cells keep
+    // the previous iteration's centroid. Each pass nests the previous
+    // centroid SQL — textual growth is geometric, fine for small `iters`.
     val sample = s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
       s"FROM ($embSrc) ORDER BY vec_id LIMIT $sampleN"
-    val sAssigned = s"SELECT vec_id, v, cell FROM (SELECT sm.vec_id, sm.v, ct.c AS cell, " +
-      s"row_number() OVER (PARTITION BY sm.vec_id ORDER BY ${cosOf("sm.v", "ct.cv")} DESC, ct.c ASC) AS rn " +
-      s"FROM ($sample) sm, ($seeds) ct) WHERE rn = 1"
-    val refined = s"SELECT cell, [list_reduce(list_prepend(0.0, " +
-      s"list_transform(vs, x -> COALESCE(x[i], 0.0))), (a, b) -> a + b) / n " +
-      s"FOR i IN range(1, len(vs[1]) + 1)] AS cv " +
-      s"FROM (SELECT cell, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n " +
-      s"FROM ($sAssigned) GROUP BY cell)"
-    val cents = s"SELECT s.c, COALESCE(r.cv, s.cv) AS cv " +
-      s"FROM ($seeds) s LEFT JOIN ($refined) r ON s.c = r.cell"
+    var cents = seeds
+    (1 to math.max(1, iters)).foreach { _ =>
+      val sAssigned = s"SELECT vec_id, v, cell FROM (SELECT sm.vec_id, sm.v, ct.c AS cell, " +
+        s"row_number() OVER (PARTITION BY sm.vec_id ORDER BY ${cosOf("sm.v", "ct.cv")} DESC, ct.c ASC) AS rn " +
+        s"FROM ($sample) sm, ($cents) ct) WHERE rn = 1"
+      val refined = s"SELECT cell, [list_reduce(list_prepend(0.0, " +
+        s"list_transform(vs, x -> COALESCE(x[i], 0.0))), (a, b) -> a + b) / n " +
+        s"FOR i IN range(1, len(vs[1]) + 1)] AS cv " +
+        s"FROM (SELECT cell, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n " +
+        s"FROM ($sAssigned) GROUP BY cell)"
+      cents = s"SELECT s.c, COALESCE(r.cv, s.cv) AS cv " +
+        s"FROM ($cents) s LEFT JOIN ($refined) r ON s.c = r.cell"
+    }
     val vecs = s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ($embSrc)"
     val qv = s"SELECT CAST(embedding AS DOUBLE[]) AS qv FROM ($embSrc) ORDER BY vec_id LIMIT 1"
     val assigned = s"SELECT vec_id, cell FROM (SELECT e.vec_id, ct.c AS cell, " +

@@ -325,12 +325,13 @@ object Queries {
       VectorOps.cosineTopKLsh(emb, "vec_id", "embedding", queryVec(emb), 10, bits = 8)
     }),
     // IVF coarse-quantizer ANN (the second index family — cell-pruned scan
-    // vs the LSH bucket probe above); oracle emulates centroid assignment,
-    // probing and ranking bit-for-bit
+    // vs the LSH bucket probe above), with TWO deterministic Lloyd
+    // refinement iterations; oracle emulates every iteration, centroid
+    // assignment, probing and ranking bit-for-bit
     "q_emb_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       VectorOps.cosineTopKIvf(emb, "vec_id", "embedding", queryVec(emb), 10,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 4, refineIters = 2)
     }),
 
     // the COMPOSED curation funnel end-to-end (quality gate → language
@@ -348,6 +349,23 @@ object Queries {
         graft.ops.CurationPipeline.Config(langs = Set("en"),
           jaccardThreshold = 0.7, bands = 64, rowsPerBand = 5,
           maxBucketSize = 0))
+        .kept.select("doc_id")
+    }),
+
+    // the curation funnel with CONNECTED-COMPONENTS survivor selection
+    // over a chain fixture (prefix@id, suffix@id+10^6, full@id+2·10^6):
+    // prefix~full and suffix~full are near-dups but prefix~suffix is not,
+    // and the hub (full) carries the LARGEST id — exactly the shape where
+    // minimal-element selection keeps both endpoints while true connected
+    // components keep only the component minimum. Oracled end-to-end
+    // against a DuckDB re-derivation whose components come from a
+    // recursive CTE over the brute-force jaccard pair set.
+    "q_curation_cc" -> ((s, d) => {
+      graft.ops.CurationPipeline.curate(
+        withChainedCopies(T(s, d, "documents")), "doc_id", "text",
+        graft.ops.CurationPipeline.Config(langs = Set("en"),
+          jaccardThreshold = 0.7, bands = 64, rowsPerBand = 5,
+          maxBucketSize = 0, connectedComponents = true))
         .kept.select("doc_id")
     }),
 
@@ -369,6 +387,23 @@ object Queries {
     val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       substring(col("text"), 11, 1000000).as("text"))
     docs.select("doc_id", "text").unionByName(copies)
+  }
+
+  /** Chain fixture for connected-components near-dedup: every document
+    * becomes three docs — its first ⌊0.8·len⌋ chars at the ORIGINAL id,
+    * its last ⌊0.8·len⌋ chars at id+10^6, and the FULL text at id+2·10^6.
+    * At 5-char shingles, prefix~full and suffix~full sit at jaccard ≈0.8
+    * (≥ the 0.7 threshold) while prefix~suffix ≈0.6 (below it): a
+    * similarity chain whose hub has the largest id. Integer arithmetic is
+    * floor(length·4/5) on both sides (exact in doubles), substring is
+    * 1-based on both sides — DuckDB reproduces the fixture byte-for-byte. */
+  def withChainedCopies(docs: DataFrame): DataFrame = {
+    val L = floor(length(col("text")) * 4 / 5).cast("int")
+    val prefix = docs.select(col("doc_id"), col("text").substr(lit(1), L).as("text"))
+    val suffix = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text").substr(length(col("text")) - L + 1, L).as("text"))
+    val full = docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    prefix.unionByName(suffix).unionByName(full)
   }
 
   /** Embedding near-dup test input: the vectors plus DETERMINISTICALLY
@@ -555,6 +590,30 @@ object Queries {
       s"SELECT doc_id FROM ($exact) WHERE doc_id NOT IN ($losers)"
     },
 
+    "q_curation_cc" -> {
+      // mirrors Queries.withChainedCopies byte-for-byte: floor(len·4/5)
+      // via exact double division of ints, 1-based substring on both sides
+      val L = "CAST(floor(length(text) * 4 / 5) AS INT)"
+      val chained =
+        s"SELECT doc_id, substring(text, 1, $L) AS text FROM documents " +
+          s"UNION ALL SELECT doc_id + 1000000 AS doc_id, substring(text, length(text) - $L + 1, $L) AS text FROM documents " +
+          "UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents"
+      val quality = s"length(text) BETWEEN 20 AND 100000 AND " +
+        s"len($toks) BETWEEN 5 AND 20000 AND $allSw >= 1"
+      val gated = s"SELECT doc_id, text FROM ($chained) WHERE $quality AND $langCase = 'en'"
+      val exact = s"SELECT min(doc_id) AS doc_id, text FROM ($gated) GROUP BY text"
+      // connected components over the brute-force jaccard pair set: a
+      // recursive closure of the symmetric edge relation; a doc loses iff
+      // some reachable doc has a smaller id (== not the component minimum)
+      s"WITH RECURSIVE exact_docs AS ($exact), " +
+        s"prs AS (SELECT id_a, id_b FROM (${OracleSql.jaccardPairs("SELECT doc_id, text FROM exact_docs", 0.7)})), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), " +
+        "reach(n, m) AS (SELECT src, dst FROM edges " +
+        "  UNION SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src), " +
+        "losers AS (SELECT n FROM (SELECT n, min(m) AS mm FROM reach GROUP BY n) WHERE mm < n) " +
+        "SELECT doc_id FROM exact_docs WHERE doc_id NOT IN (SELECT n FROM losers)"
+    },
+
     "q_emb_topk" ->
       ("SELECT vec_id, CAST(rank AS INTEGER) AS rank FROM (SELECT vec_id, row_number() OVER (ORDER BY " +
         "list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)) DESC, vec_id ASC" +
@@ -566,7 +625,7 @@ object Queries {
     "q_doc_neardup_simhash" -> OracleSql.neardupSimhash(maxDist = 4),
     "q_doc_fingerprint" -> OracleSql.fingerprint(k = 16),
     "q_emb_ann_lsh" -> OracleSql.annLsh(bits = 8, dim = 64, k = 10),
-    "q_emb_ann_ivf" -> OracleSql.annIvf(nlist = 16, nprobe = 4, k = 10, sampleN = 256),
+    "q_emb_ann_ivf" -> OracleSql.annIvf(nlist = 16, nprobe = 4, k = 10, sampleN = 256, iters = 2),
     "q_emb_neardup" -> OracleSql.embNearDup(threshold = 0.95),
     "q_media_features" -> OracleSql.mediaFeatures(),
     "q_json_iterator" ->

@@ -1001,6 +1001,27 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     if (any) spark.read.json(dir.toString)
     else spark.emptyDataFrame
   }
+
+  /** Per-micro-batch ingest metrics (north_star: "per-partition lineage
+    * rows and ingest metrics emitted each micro-batch"): one row per
+    * committed batch, aggregated from the per-(batch, bucket) lineage
+    * rows. Counts carry the footer-stats discipline — they come from the
+    * parquet footers of the files each batch committed, so they are EXACT
+    * under task retries and speculative execution (an accumulator-based
+    * count would double-count retried tasks). Emitted by every apply path,
+    * including the pipelined Structured Streaming sink (CdcPipeline
+    * buffers lineage at commit time). */
+  def ingestMetrics(): DataFrame = {
+    val l = lineage()
+    if (l.columns.isEmpty) return l
+    l.groupBy(col("batch_id"))
+      .agg(
+        sum(col("events")).as("events"),
+        count(lit(1)).as("buckets_touched"),
+        min(col("lsn_min")).as("lsn_min"),
+        max(col("lsn_max")).as("lsn_max"),
+        max(col("duration_ms")).as("duration_ms"))
+  }
 }
 
 object LakeTable {

@@ -25,7 +25,16 @@ object CurationPipeline {
       shingleK: Int = 5,
       bands: Int = 64,
       rowsPerBand: Int = 5,
-      maxBucketSize: Int = 2000)
+      maxBucketSize: Int = 2000,
+      /** Survivor selection over the near-dup pair relation. Default
+        * (false): drop every id appearing as the GREATER side of a pair —
+        * exact for cliques, but a similarity CHAIN a–b–c whose hub b
+        * carries the largest id keeps BOTH endpoints. true: bounded
+        * min-label propagation computes true connected components and
+        * keeps only each component's smallest id (adds O(rounds) tiny
+        * driver-coordinated joins over the cached pair set; rounds =
+        * component diameter, small at high thresholds). */
+      connectedComponents: Boolean = false)
 
   final case class Report(input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, kept: Long) {
@@ -90,13 +99,18 @@ object CurationPipeline {
     val pairs = TextOps.nearDupPairs(exact, "doc_id", "text",
       cfg.jaccardThreshold, cfg.shingleK, cfg.bands, cfg.rowsPerBand,
       maxBucketSize = cfg.maxBucketSize)
-    // losers is the distinct GREATER side of each near-dup pair — a tiny
-    // id set; caching IT (not just `exact`) is what keeps the LSH pass out
-    // of the caller's later actions on `kept`
-    val losers = pairs.select(col("id_b").as("doc_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // losers is a tiny id set; caching IT (not just `exact`) is what keeps
+    // the LSH pass out of the caller's later actions on `kept`. Approx
+    // mode: distinct GREATER side of each pair (materialized by the kept
+    // count below — job 2, the LSH pass's only execution). CC mode:
+    // [[connectedLosers]] materializes the pair set once (the LSH pass)
+    // and iterates min-label propagation over the cache.
+    val losers =
+      if (cfg.connectedComponents) connectedLosers(pairs)
+      else pairs.select(col("id_b").as("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = exact.join(losers, Seq("doc_id"), "left_anti")
-    val keptN = kept.count() // job 2: the LSH pass (its only execution) fills `losers`
+    val keptN = kept.count() // job 2 (approx): the LSH pass fills `losers`
 
     val m = obs.get
     val report = Report(
@@ -106,5 +120,55 @@ object CurationPipeline {
       afterExact = afterExact,
       kept = keptN)
     Curated(kept, report, Seq(exact, losers))
+  }
+
+  /** Ids that do NOT survive connected-components min-id selection over a
+    * near-dup pair relation (`id_a`, `id_b` columns): every member of a
+    * component except its smallest id. Bounded iterative min-label
+    * propagation — labels start as own id; each round takes the min over
+    * neighbors' labels; converges in O(component diameter) rounds (tiny at
+    * high similarity thresholds). All joins run over the CACHED symmetric
+    * edge set, so the expensive pair derivation (LSH band self-join)
+    * executes exactly once; per-round work is O(|pairs|), fully
+    * distributed — no driver-side union-find over collected pairs.
+    *
+    * Returns a PERSISTED, materialized DataFrame (internal caches are
+    * released before returning); the caller owns its lifetime. Fails
+    * loudly if propagation does not converge within `maxRounds`. */
+  def connectedLosers(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst").as("nid"))
+        .agg(min(labels("label")).as("nl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id").as("id"),
+          least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // one tiny action per round: materializes `next` and counts changes
+      val changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.label") =!= col("b.label")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged)
+      sys.error(s"connected-components propagation did not converge in $maxRounds rounds")
+    val losers = labels.filter(col("label") =!= col("id"))
+      .select(col("id").as("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    losers.count() // materialize before releasing the internals it reads
+    labels.unpersist(false)
+    edges.unpersist(false)
+    losers
   }
 }

@@ -102,6 +102,24 @@ class StreamSpec extends SparkSpec {
     assert(CdcPipeline.recoverPending(spark, table, ckDir, opts) == 0,
       "clean shutdown leaves no uncommitted source-log batches")
 
+    // ingest metrics: one row per committed micro-batch, with counts from
+    // the parquet footers of the committed files — EXACT per batch (equal
+    // to the LWW'd valid-row count of that batch's source files), not an
+    // accumulator estimate (north_star "ingest metrics each micro-batch")
+    val metrics = table.ingestMetrics().collect()
+      .map(r => r.getLong(r.fieldIndex("batch_id")) ->
+        r.getLong(r.fieldIndex("events"))).toMap
+    val sourceBatches = org.apache.spark.sql.GraftShim.sourceLogBatches(spark, ckDir, 0L)
+    assert(sourceBatches.nonEmpty)
+    sourceBatches.foreach { case (id, files) =>
+      val expectRows = CdcApply.lwwDedup(
+        CdcApply.prepareBatch(
+          spark.read.schema(Model.changeEventSchema).parquet(files: _*)),
+        Model.keyCols, 1).count()
+      assert(metrics.get(id).contains(expectRows),
+        s"batch $id metrics events=${metrics.get(id)} expected=$expectRows")
+    }
+
     // restart over the same checkpoint: no new data → no state change
     val v1 = table.currentSnapshot.version
     CdcStream.runOnce(spark, logDir, table, ckDir, maxFilesPerTrigger = 4, opts)

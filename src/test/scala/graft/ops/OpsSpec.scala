@@ -139,6 +139,32 @@ class TextOpsSpec extends SparkSpec {
     assert(ids.contains(12L), "unrelated clean doc kept")
   }
 
+  test("connected-components survivor selection collapses chains the minimal-element approximation keeps") {
+    // a similarity CHAIN a–hub–b where the HUB carries the largest id:
+    // prefix(1)~full(3) and suffix(2)~full(3) are near-dups, but
+    // prefix~suffix is not. Minimal-element selection only drops ids that
+    // appear as the GREATER pair side — {3} — keeping BOTH endpoints;
+    // true connected components keep only the component minimum {1}.
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val L = base.length * 4 / 5
+    val chain = Seq(
+      (1L, base.substring(0, L)),                  // prefix endpoint
+      (2L, base.substring(base.length - L)),       // suffix endpoint
+      (3L, base)).toDF("doc_id", "text")           // hub, LARGEST id
+    val cfg = CurationPipeline.Config(langs = Set("en"), jaccardThreshold = 0.7,
+      maxBucketSize = 0)
+    val approx = CurationPipeline.curate(chain, "doc_id", "text", cfg)
+    val approxIds = approx.kept.select("doc_id").as[Long].collect().toSet
+    approx.release()
+    assert(approxIds == Set(1L, 2L),
+      s"fixture must demonstrate the approximation (kept $approxIds)")
+    val cc = CurationPipeline.curate(chain, "doc_id", "text",
+      cfg.copy(connectedComponents = true))
+    val ccIds = cc.kept.select("doc_id").as[Long].collect().toSet
+    cc.release()
+    assert(ccIds == Set(1L), s"one survivor per component (kept $ccIds)")
+  }
+
   test("rolling fingerprint: equal for dups, stable under prefix-append") {
     val fp1 = TextHashes.rollingFingerprint("abcdefghijklmnopqrstuvwxyz 0123", 8)
     val fp2 = TextHashes.rollingFingerprint("PREFIX abcdefghijklmnopqrstuvwxyz 0123", 8)
@@ -249,6 +275,36 @@ class VectorOpsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"refined IVF recall $recall < 0.9 on weakly-clustered fixture")
+  }
+
+  test("IVF ANN with MULTI-iteration Lloyd: recall ≥ 0.9 on elongated/overlapping clusters") {
+    // adversarial geometry (round-4 verdict item 7): clusters stretched 8x
+    // along a shared axis AND overlapping (centers only 2σ apart along the
+    // minor axes) — one Lloyd pass leaves centroids parked mid-ellipsoid,
+    // multi-iteration migrates them into the mass
+    val rnd = new scala.util.Random(17)
+    val axis = Array.fill(16)(rnd.nextGaussian()).map(_ / 4)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 2.5))
+    val data = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      val stretch = rnd.nextGaussian() * 8 // elongation along the shared axis
+      (i, c.indices.map(j =>
+        (c(j) + axis(j) * stretch + rnd.nextGaussian() * 1.2).toFloat).toArray)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.map(_.toDouble)
+    val exact = VectorOps.cosineTopK(df, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = VectorOps.cosineTopKIvf(df, "vec_id", "embedding", q, 20,
+        nlist = 16, nprobe = 4, refineSampleN = 256, refineIters = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"multi-iter IVF recall $recall < 0.9 on elongated fixture")
+    // and the refinement is genuinely iterative: iterations move centroids
+    val c1 = VectorOps.ivfCentroidsRefined(df, "vec_id", "embedding", 16, 256, iters = 1)
+    val c4 = VectorOps.ivfCentroidsRefined(df, "vec_id", "embedding", 16, 256, iters = 4)
+    assert(c1.zip(c4).exists { case (a, b) => !a.sameElements(b) },
+      "additional Lloyd iterations must move at least one centroid")
   }
 
   test("embeddingNearDups finds planted duplicate vector") {
