@@ -155,8 +155,15 @@ object CdcStream {
           Thread.sleep(math.min(250L, math.max(50L, intervalMs)))
           val now = System.currentTimeMillis()
           val p = q.lastProgress
+          val st = q.status
           if (p != null && p.numInputRows > 0 && p.batchId != lastBatch) {
             lastBatch = p.batchId
+            lastData = now
+          } else if (p == null || st.isDataAvailable || st.isTriggerActive) {
+            // still starting up (no progress yet) or a backlog is being
+            // processed — NOT idle, or the idle window would expire while
+            // the first batch is still executing and the tail would quit
+            // before applying anything
             lastData = now
           }
           if (idleStopMs > 0 && now - lastData >= idleStopMs) done = true
