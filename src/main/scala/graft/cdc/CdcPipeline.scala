@@ -117,9 +117,14 @@ final class CdcPipeline(
   }
 
   /** Runs on the committer thread; tasks were enqueued in batch order, so
-    * blocking on THIS batch's write future serializes commits in order. */
+    * blocking on THIS batch's write future serializes commits in order.
+    * The future stays IN `results` until this batch is fully processed:
+    * [[abort]]'s sweep must still see the batch the committer is currently
+    * blocked on (the oldest in-flight write — exactly the one whose late
+    * completion would otherwise strand its pending-file registrations). */
   private def commitOne(batchId: Long): Unit = {
-    val fut = results.remove(batchId)
+    val fut = results.get(batchId)
+    if (fut == null) { inFlight.release(); return } // abort() already swept it
     try fut.get() match {
       case Success((w, durMs)) =>
         if (failure != null) table.abandonDelta(w)
@@ -130,7 +135,7 @@ final class CdcPipeline(
         }
       case Failure(t) => if (failure == null) failure = t
     } catch { case t: Throwable => if (failure == null) failure = t }
-    finally inFlight.release()
+    finally { results.remove(batchId); inFlight.release() }
   }
 
   /** Graceful drain after the query terminates: every submitted batch

@@ -69,12 +69,25 @@ object CdcStream {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
       opts: CdcApply.Options = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4))
-      : (StreamingQuery, CdcPipeline) = {
+      : (StreamingQuery, CdcPipeline) =
+    startWithTrigger(spark, logDir, table, checkpointDir, maxFilesPerTrigger,
+      Trigger.AvailableNow(), opts)
+
+  /** Shared wiring of the pipelined sink (recovery → pipeline → query);
+    * AvailableNow and ProcessingTime entry points differ only in trigger. */
+  private def startWithTrigger(
+      spark: SparkSession,
+      logDir: String,
+      table: LakeTable,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int,
+      trigger: Trigger,
+      opts: CdcApply.Options): (StreamingQuery, CdcPipeline) = {
     CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
     val pipeline = new CdcPipeline(spark, table, checkpointDir, opts)
     val q = source(spark, logDir, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         pipeline.submit(batch, batchId)
         ()
@@ -105,19 +118,9 @@ object CdcStream {
       maxFilesPerTrigger: Int = 8,
       intervalMs: Long = 500L,
       opts: CdcApply.Options = CdcApply.Options(mergeOnRead = true, pipelineDepth = 4))
-      : (StreamingQuery, CdcPipeline) = {
-    CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
-    val pipeline = new CdcPipeline(spark, table, checkpointDir, opts)
-    val q = source(spark, logDir, maxFilesPerTrigger).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(intervalMs))
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        pipeline.submit(batch, batchId)
-        ()
-      }
-      .start()
-    (q, pipeline)
-  }
+      : (StreamingQuery, CdcPipeline) =
+    startWithTrigger(spark, logDir, table, checkpointDir, maxFilesPerTrigger,
+      Trigger.ProcessingTime(intervalMs), opts)
 
   /** Drive a continuous tail session. Returns once the source has produced
     * no data for `idleStopMs` (pass 0 to run until the thread is
@@ -151,7 +154,11 @@ object CdcStream {
       var restart = false
       try {
         var lastRefresh = System.currentTimeMillis()
-        while (!done && !restart) {
+        // also watch query health: a dead query must not leave the monitor
+        // sleeping forever in the idleStopMs = 0 (months-long) mode — on
+        // termination the finally's awaitTermination rethrows any real
+        // failure; an external clean stop ends the session
+        while (!done && !restart && q.isActive) {
           Thread.sleep(math.min(250L, math.max(50L, intervalMs)))
           val now = System.currentTimeMillis()
           val p = q.lastProgress
@@ -177,6 +184,7 @@ object CdcStream {
             }
           }
         }
+        if (!q.isActive && !restart) done = true // terminated outside our control
       } finally {
         // stopping a ProcessingTime query can CANCEL an in-flight batch's
         // jobs — that is the expected kill shape of a tail restart, not a
@@ -194,14 +202,24 @@ object CdcStream {
   }
 
   /** True when the throwable chain is a stop-induced Spark job/query
-    * cancellation (benign during a tail stop/restart). */
+    * cancellation (benign during a tail stop/restart). Checks exception
+    * TYPES first (CancellationException/InterruptedException carry null or
+    * locale-variant messages), then Spark's own stop/cancel message
+    * markers. A genuine failure mis-swallowed here is not lost: the batch
+    * stays uncommitted in the journal, recoverPending re-applies it, and a
+    * persistent error resurfaces loudly on the re-apply. */
   private def isCancellation(t: Throwable): Boolean = {
     var c: Throwable = t
     var hops = 0
     while (c != null && hops < 10) {
+      c match {
+        case _: java.util.concurrent.CancellationException => return true
+        case _: InterruptedException => return true
+        case _ => ()
+      }
       val m = Option(c.getMessage).getOrElse("")
       if (m.contains("SPARK_JOB_CANCELLED") || m.contains("cancelled") ||
-        m.contains("was stopped")) return true
+        m.contains("canceled") || m.contains("was stopped")) return true
       c = c.getCause
       hops += 1
     }

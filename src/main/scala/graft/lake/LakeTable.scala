@@ -931,12 +931,18 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       all.filterNot(p => retained.contains(p.getFileName.toString))
         .foreach(Files.deleteIfExists(_))
       // manifest GC: a manifest unreferenced by every retained snapshot is
-      // unreachable (snapshots are the only pointers into manifests/)
+      // unreachable (snapshots are the only pointers into manifests/).
+      // Same mtime grace as the data-file GC below: a CROSS-PROCESS expiry
+      // could otherwise delete a manifest another writer just staged but
+      // whose snapshot CAS hasn't published yet (in-process commits are
+      // serialized with this method by commitLock).
       val referencedManifests = retainedSnaps.flatMap(_.manifestNames.values).toSet
+      val manifestCutoff = System.currentTimeMillis() - graceMs
       if (Files.exists(manifestsDir)) {
         listed(manifestsDir)
           .filter(p => p.getFileName.toString.endsWith(".json"))
           .filterNot(p => referencedManifests.contains(p.getFileName.toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < manifestCutoff)
           .foreach { p =>
             manifestCache.remove(p.getFileName.toString)
             Files.deleteIfExists(p)
