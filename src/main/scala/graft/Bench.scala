@@ -72,9 +72,12 @@ object Bench {
     val table = new LakeTable(spark, tableDir, numBuckets = buckets)
     table.create(Model.transcriptSchema)
     val t0 = System.nanoTime()
-    graft.cdc.CdcStream.runTail(spark, logRoot, table, ckDir,
+    val r = graft.cdc.CdcStream.runTail(spark, logRoot, table, ckDir,
       maxFilesPerTrigger, intervalMs = 100L, idleStopMs = idleStopMs, opts = opts)
-    val sec = math.max(0.001, (System.nanoTime() - t0) / 1e9 - idleStopMs / 1000.0)
+    // subtract the MEASURED dead window (idle threshold + detection
+    // overshoot), not the nominal idleStopMs — commits that outlast the
+    // dead window stay counted because runTail's close() blocks on them
+    val sec = math.max(0.001, (System.nanoTime() - t0) / 1e9 - r.deadMs / 1000.0)
     deleteRec(tableDir); deleteRec(ckDir)
     (sec, numEvents / sec)
   }

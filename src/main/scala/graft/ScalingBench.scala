@@ -118,7 +118,8 @@ object ScalingBench {
     if (sys.env.get("GRAFT_WORK_DIR").isEmpty) Bench.deleteRec(work)
 
     val efficiency = (eps4N / epsN) / (n4.toDouble / n)
-    println(f"""{"bench":"scaling","events":$numEvents,"reps":$reps,"local[$n]_events_per_sec":$epsN%.0f,"local[$n4]_events_per_sec":$eps4N%.0f,"local[$n]_sec":$secN%.2f,"local[$n4]_sec":$sec4N%.2f,"scaling_efficiency":$efficiency%.3f}""")
+    val modeName = mode.getOrElse("cow")
+    println(f"""{"bench":"scaling","mode":"$modeName","events":$numEvents,"reps":$reps,"local[$n]_events_per_sec":$epsN%.0f,"local[$n4]_events_per_sec":$eps4N%.0f,"local[$n]_sec":$secN%.2f,"local[$n4]_sec":$sec4N%.2f,"scaling_efficiency":$efficiency%.3f}""")
   }
 }
 

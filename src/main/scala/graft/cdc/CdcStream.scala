@@ -97,10 +97,14 @@ object CdcStream {
   }
 
   /** Result of a [[runTail]] session: how many times the query was
-    * restarted with a re-suggested `maxFilesPerTrigger`, and the epoch-ms
-    * of the last data-bearing micro-batch (throughput accounting can
-    * exclude the trailing idle window). */
-  final case class TailRun(restarts: Int, lastDataMs: Long)
+    * restarted with a re-suggested `maxFilesPerTrigger`, the epoch-ms of
+    * the last data-bearing micro-batch, and the MEASURED dead window —
+    * the time between the last observed activity and the idle-stop
+    * decision (idle threshold + poll/trigger-flicker overshoot). A finite
+    * replay benchmark subtracts `deadMs` (not the nominal idleStopMs) for
+    * honest throughput: commits draining during the dead window stay
+    * counted whenever they outlast it, because close() blocks after it. */
+  final case class TailRun(restarts: Int, lastDataMs: Long, deadMs: Long)
 
   /** Start the pipelined sink on a CONTINUOUS ProcessingTime trigger — the
     * binlog-tail deployment of the north_star (round-4 verdict item 2:
@@ -148,6 +152,7 @@ object CdcStream {
     var lastBatch = -1L
     var done = false
     var sawCancel = false
+    var deadMs = 0L
     while (!done) {
       val (q, pipeline) = startTailPipelined(spark, logDir, table, checkpointDir,
         mft, intervalMs, opts)
@@ -173,7 +178,10 @@ object CdcStream {
             // before applying anything
             lastData = now
           }
-          if (idleStopMs > 0 && now - lastData >= idleStopMs) done = true
+          if (idleStopMs > 0 && now - lastData >= idleStopMs) {
+            done = true
+            deadMs = now - lastData
+          }
           if (!done && refreshEveryMs > 0 && now - lastRefresh >= refreshEveryMs) {
             lastRefresh = now
             val sug = suggestMaxFilesPerTrigger(spark, logDir, refreshTargetEvents)
@@ -198,7 +206,7 @@ object CdcStream {
       }
     }
     if (sawCancel) CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
-    TailRun(restarts, lastData)
+    TailRun(restarts, lastData, deadMs)
   }
 
   /** True when the throwable chain is a stop-induced Spark job/query

@@ -137,9 +137,23 @@ object CurationPipeline {
     * loudly if propagation does not converge within `maxRounds`. */
   def connectedLosers(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Truncate the lineage at the pair relation with an RDD boundary
+    // BEFORE anything references it. The pair plan (LSH band self-join +
+    // exact verify over a cached input) renders a plan string whose size
+    // is the product of the minhash expression tree and every cache
+    // reference — big enough to OOM a modest driver just NAMING the cache
+    // (InMemoryRelation's cachedName renders treeString). The propagation
+    // loop below references the pair set 2× per round, so every
+    // downstream plan must be O(1) in plan size: a persisted RDD behind a
+    // LogicalRDD scan gives that, and pins exactly one execution of the
+    // expensive derivation (the first action fills it; later scans read
+    // rows, not lineage).
+    val sel = pairs.select(col("id_a"), col("id_b"))
+    val prdd = sel.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.sparkSession.createDataFrame(prdd, sel.schema)
+    p.count()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -168,7 +182,7 @@ object CurationPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     losers.count() // materialize before releasing the internals it reads
     labels.unpersist(false)
-    edges.unpersist(false)
+    prdd.unpersist(false)
     losers
   }
 }
