@@ -315,6 +315,27 @@ object Queries {
         .select(col("event_id"), col("user_id"))
     }),
 
+    // the round-5 jsonpath_ng-parity surface through the REAL loadJson
+    // path: mid-path MULTI-TARGET recursive descent (three `items` arrays
+    // under distinct parents) + Python slice with negative end and step —
+    // $.wrap..items[1:-1:2] — over a doc derived from events so DuckDB
+    // can oracle the selection with window functions on the same parquet
+    "q_json_path" -> ((s, d) => {
+      val rows = T(s, d, "events").orderBy("event_id").limit(60)
+        .select("event_id", "user_id").collect()
+      val json = rows.groupBy(r => (r.getLong(0) % 3).toInt).toSeq.sortBy(_._1)
+        .map { case (g, rs) =>
+          val items = rs.sortBy(_.getLong(0))
+            .map(r => s"""{"event_id":${r.getLong(0)},"user_id":${r.getLong(1)}}""")
+            .mkString("[", ",", "]")
+          s""""g$g":{"items":$items}"""
+        }.mkString("""{"wrap":{""", ",", "}}")
+      val f = java.nio.file.Files.createTempDirectory("graft-jsonpath").resolve("doc.json")
+      java.nio.file.Files.writeString(f, json)
+      graft.rml.RmlMapper.loadJson(s, f.toString, Some("$.wrap..items[1:-1:2]"))
+        .select(col("event_id"), col("user_id"))
+    }),
+
     // similarity search
     "q_emb_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -634,5 +655,15 @@ object Queries {
     "q_emb_neardup" -> OracleSql.embNearDup(threshold = 0.95),
     "q_media_features" -> OracleSql.mediaFeatures(),
     "q_json_iterator" ->
-      "SELECT event_id, user_id FROM (SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 50)")
+      "SELECT event_id, user_id FROM (SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 50)",
+
+    // Python slice [1:-1:2] per events%3 group, emulated with window
+    // functions: 0-based index i in [1, n-1) stepping 2 from 1
+    "q_json_path" ->
+      """WITH base AS (SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 60),
+        |w AS (SELECT event_id, user_id,
+        |        row_number() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1 AS i,
+        |        count(*) OVER (PARTITION BY event_id % 3) AS n
+        |      FROM base)
+        |SELECT event_id, user_id FROM w WHERE i >= 1 AND i < n - 1 AND (i - 1) % 2 = 0""".stripMargin)
 }

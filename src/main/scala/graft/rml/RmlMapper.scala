@@ -119,137 +119,286 @@ object RmlMapper {
       spark.read.option("header", "true").option("inferSchema", "false").csv(path)
   }
 
-  /** Apply a JSONPath-subset iterator (`$.a.b[*].c`) to a JSON document:
-    * each match = one row; object matches widen to columns (union of keys
-    * via Spark schema inference); scalar matches become column `value`
-    * (reference backend.py:408-447). */
+  /** Apply a JSONPath iterator to a JSON document: each match = one row;
+    * object matches widen to columns (union of keys via Spark schema
+    * inference); scalar matches become column `value` (reference
+    * backend.py:408-447). The grammar matches what the reference's
+    * `jsonpath_ng` (BASE grammar, backend.py:7) accepts: dot + bracket
+    * fields, `[*]`, numeric indices (incl. negative), Python slices
+    * `[a:b:c]` (positive step), member wildcard `.*`, index unions
+    * `[0,2]`, field unions `['a','b']`, and recursive descent `..name`
+    * at any position (schema-resolved; multiple target paths union).
+    * Filter expressions `[?...]` are a loud reject HERE AND in the
+    * reference (base jsonpath_ng lexes them as errors — only the
+    * unused `jsonpath_ng.ext` grammar has filters). */
   def loadJson(spark: SparkSession, path: String, iterator: Option[String]): DataFrame = {
     // multiLine handles a whole JSON document (object or array) per file
     val root = spark.read.option("multiLine", "true").json(path)
     iterator match {
       case None | Some("$") => root
-      case Some(it) =>
-        parseJsonPath(it).foldLeft(root) { (df, seg) =>
-          seg match {
-            case ArraySeg(name) if name.isEmpty =>
-              df // top-level array: Spark's json reader already row-izes it
-            case ArraySeg(name) =>
-              val exploded = df.select(explode(col(name)).as("_row"))
-              exploded.schema.head.dataType match {
-                case _: org.apache.spark.sql.types.StructType =>
-                  exploded.select("_row.*") // object match → union-of-keys columns
-                case _ =>
-                  exploded.select(col("_row").cast("string").as("value")) // scalar match
-              }
-            case IndexSeg(name, idx) =>
-              if (name.isEmpty)
-                throw RmlCompiler.RmlError(
-                  s"unsupported JSONPath (index on top-level array): $it")
-              // single element: `$.a[0]` — then widen objects. `get()`
-              // (not getItem: ANSI mode throws on out-of-bounds) yields
-              // NULL for an out-of-range index, which is then dropped:
-              // NO MATCH = zero rows (jsonpath_ng semantics), not a
-              // phantom all-NULL record.
-              val item = df.select(get(col(name), lit(idx)).as("_row"))
-                .filter(col("_row").isNotNull)
-              item.schema.head.dataType match {
-                case _: org.apache.spark.sql.types.StructType => item.select("_row.*")
-                case _ => item.select(col("_row").cast("string").as("value"))
-              }
-            case FieldSeg(name) => df.select(col(name + ".*"))
-            case DescendSeg(target) =>
-              // schema-resolved `$..target`: find every parent path whose
-              // struct holds a field `target` (descending through arrays);
-              // exactly one may exist — jsonpath_ng's multi-match union is
-              // out of the bounded form, so ambiguity fails loudly
-              import org.apache.spark.sql.types.{ArrayType, StructType}
-              def paths(dt: org.apache.spark.sql.types.DataType,
-                  prefix: List[String]): List[List[String]] = dt match {
-                case st: StructType => st.fields.toList.flatMap { f =>
-                  (if (f.name == target) List(prefix) else Nil) ++
-                    paths(f.dataType, prefix :+ f.name)
-                }
-                case at: ArrayType => paths(at.elementType, prefix)
-                case _ => Nil
-              }
-              paths(df.schema, Nil) match {
-                case Nil =>
-                  throw RmlCompiler.RmlError(
-                    s"JSONPath '$$..$target': no field '$target' anywhere in the document schema")
-                case path :: Nil =>
-                  path.foldLeft(df) { (d, fname) =>
-                    var cur = d.select(col(fname).as("_d"))
-                    while (cur.schema.head.dataType.isInstanceOf[ArrayType])
-                      cur = cur.select(explode(col("_d")).as("_d"))
-                    cur.select("_d.*") // guaranteed struct: path came from the schema
-                  }
-                case many =>
-                  throw RmlCompiler.RmlError(
-                    s"JSONPath '$$..$target' is ambiguous (${many.size} paths: " +
-                      many.map(p => ("$" +: p).mkString(".")).mkString(", ") +
-                      ") — bounded descent requires a unique target")
-              }
-          }
-        }
+      case Some(it) => parseJsonPath(it).foldLeft(root)((df, seg) => applySeg(df, seg, it))
     }
+  }
+
+  import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+  import org.apache.spark.sql.Column
+
+  /** Row-ize a single-column frame of match values: object matches widen
+    * to union-of-keys columns, scalar matches become a `value` column
+    * (reference preprocess_json, backend.py:430-447). A match that is
+    * itself an array needs an explicit `[*]`/index/slice to iterate. */
+  private def widen(matches: DataFrame, it: String): DataFrame = {
+    val c = matches.columns.head
+    matches.schema.head.dataType match {
+      case _: StructType => matches.select(c + ".*")
+      case _: ArrayType =>
+        throw RmlCompiler.RmlError(
+          s"JSONPath '$it': match value is an array — append [*], an index or a slice to iterate it")
+      case _ => matches.select(col(c).cast("string").as("value"))
+    }
+  }
+
+  /** `$.a[i]` with Python negative-index semantics; out-of-range = NO
+    * match (zero rows), not a phantom all-NULL record — `get()` (not
+    * getItem: ANSI mode throws on out-of-bounds) yields NULL there. */
+  private def indexSelect(df: DataFrame, name: String, idx: Int): DataFrame = {
+    val arr = col(name)
+    val at = if (idx >= 0) lit(idx) else size(arr) + idx
+    df.select(get(arr, at).as("_row")).filter(col("_row").isNotNull)
+  }
+
+  /** Union the member VALUES of struct members `paths` (wildcard `.*` and
+    * field unions `['a','b']`): struct members widen and union by name
+    * (union-of-keys, missing → NULL), scalar members stack into `value`.
+    * Mixed struct/scalar or array members are rejected loudly. */
+  private def memberUnion(df: DataFrame, members: Seq[(String, DataType)],
+      it: String): DataFrame = {
+    def kind(dt: DataType) = dt match {
+      case _: StructType => "object"
+      case _: ArrayType => "array"
+      case _ => "scalar"
+    }
+    members.find(m => kind(m._2) == "array").foreach { case (p, _) =>
+      throw RmlCompiler.RmlError(
+        s"JSONPath '$it': member '$p' is an array — iterate it explicitly with [*]/index/slice")
+    }
+    if (members.map(m => kind(m._2)).distinct.size > 1)
+      throw RmlCompiler.RmlError(
+        s"JSONPath '$it': wildcard/union mixes object and scalar members (" +
+          members.map(m => s"${m._1}:${kind(m._2)}").mkString(", ") + ")")
+    val frames = members.map { case (p, dt) =>
+      dt match {
+        case _: StructType => df.select(col(p + ".*"))
+        case _ => df.select(col(p).cast("string").as("value"))
+      }
+    }
+    try frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw RmlCompiler.RmlError(
+          s"JSONPath '$it': wildcard/union members have conflicting shapes (${e.getMessage})")
+    }
+  }
+
+  /** Navigate to a descent parent path (exploding arrays along the way)
+    * and widen to its columns. `path` came from the schema, so every hop
+    * is a struct (possibly behind arrays). */
+  private def navigateParent(df: DataFrame, path: List[String]): DataFrame =
+    path.foldLeft(df) { (d, fname) =>
+      var cur = d.select(col(fname).as("_d"))
+      while (cur.schema.head.dataType.isInstanceOf[ArrayType])
+        cur = cur.select(explode(col("_d")).as("_d"))
+      cur.select("_d.*")
+    }
+
+  private def applySeg(df: DataFrame, seg: Seg, it: String): DataFrame = seg match {
+    case ArraySeg(name) if name.isEmpty =>
+      df // top-level array: Spark's json reader already row-izes it
+    case ArraySeg(name) =>
+      widen(df.select(explode(col(name)).as("_row")), it)
+    case IndexSeg(name, idx) =>
+      if (name.isEmpty)
+        throw RmlCompiler.RmlError(
+          s"unsupported JSONPath (index on top-level array): $it")
+      widen(indexSelect(df, name, idx), it)
+    case IndexUnionSeg(name, idxs) =>
+      if (name.isEmpty)
+        throw RmlCompiler.RmlError(
+          s"unsupported JSONPath (index union on top-level array): $it")
+      // one frame per index, unioned — preserves jsonpath_ng's multiset
+      // semantics ($.s[0,0] matches the element twice)
+      widen(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it)
+    case SliceSeg(name, startO, endO, step) =>
+      if (name.isEmpty)
+        throw RmlCompiler.RmlError(
+          s"unsupported JSONPath (slice on top-level array): $it")
+      // Python slice semantics against the per-row array length: negative
+      // bounds count from the end, omitted bounds span the array, step
+      // strides from the (normalized) start
+      val arr = col(name)
+      val exploded = df.select(size(arr).as("_n"), posexplode(arr).as(Seq("_i", "_row")))
+      val n = col("_n")
+      def norm(v: Int): Column = if (v < 0) greatest(n + v, lit(0)) else least(lit(v), n)
+      val lo = startO.map(norm).getOrElse(lit(0))
+      val hi = endO.map(norm).getOrElse(n)
+      val kept = exploded
+        .filter(col("_i") >= lo && col("_i") < hi && (col("_i") - lo) % step === 0)
+        .select(col("_row"))
+      widen(kept, it)
+    case WildcardSeg =>
+      // `.*`: every member value of the current object(s) becomes a match
+      memberUnion(df, df.schema.fields.toSeq.map(f => (f.name, f.dataType)), it)
+    case FieldUnionSeg(name, fields) =>
+      val base = if (name.isEmpty) df.schema
+      else df.schema.find(_.name == name).map(_.dataType) match {
+        case Some(st: StructType) => st
+        case Some(other) =>
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': field union on non-object '$name' (${other.simpleString})")
+        case None =>
+          throw RmlCompiler.RmlError(s"JSONPath '$it': no field '$name' in the document schema")
+      }
+      val prefix = if (name.isEmpty) "" else name + "."
+      // a listed member absent from the schema = no match for it
+      // (jsonpath_ng semantics: $.b['c','zzz'] yields just c's value)
+      val present = fields.flatMap(f => base.find(_.name == f).map(sf => (prefix + f, sf.dataType)))
+      if (present.isEmpty)
+        throw RmlCompiler.RmlError(
+          s"JSONPath '$it': none of the union fields ${fields.mkString("['", "','", "']")} exist in the document schema")
+      memberUnion(df, present, it)
+    case FieldSeg(name) =>
+      df.schema.find(_.name == name).map(_.dataType) match {
+        case Some(_: StructType) => df.select(col(name + ".*"))
+        case Some(_: ArrayType) =>
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': field '$name' is an array — append [*], an index or a slice to iterate it")
+        case Some(_) => df.select(col(name).cast("string").as("value"))
+        case None =>
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': no field '$name' in the document schema")
+      }
+    case DescendSeg(target) =>
+      // schema-resolved `..target`: find every parent path whose struct
+      // holds a field `target` (descending through arrays). Multiple
+      // parent paths = multiple jsonpath_ng matches → union-of-keys union
+      // (missing columns NULL); conflicting shapes fail loudly.
+      def paths(dt: DataType, prefix: List[String]): List[List[String]] = dt match {
+        case st: StructType => st.fields.toList.flatMap { f =>
+          (if (f.name == target) List(prefix) else Nil) ++
+            paths(f.dataType, prefix :+ f.name)
+        }
+        case at: ArrayType => paths(at.elementType, prefix)
+        case _ => Nil
+      }
+      paths(df.schema, Nil) match {
+        case Nil =>
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it' ('..$target'): no field '$target' anywhere in the document schema")
+        case path :: Nil => navigateParent(df, path)
+        case many =>
+          try many.map(navigateParent(df, _))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw RmlCompiler.RmlError(
+                s"JSONPath '$it' ('..$target'): ${many.size} parent paths have conflicting shapes (" +
+                  many.map(p => ("$" +: p).mkString(".")).mkString(", ") + s"): ${e.getMessage}")
+          }
+      }
   }
 
   private sealed trait Seg
   private final case class FieldSeg(name: String) extends Seg
   private final case class ArraySeg(name: String) extends Seg
   private final case class IndexSeg(name: String, idx: Int) extends Seg
-  /** `$..name` — descend to the UNIQUE schema path whose parent holds a
-    * field `name` (exploding any arrays along the way), then continue with
-    * the normal segments. Ambiguous/absent targets are rejected loudly. */
+  private final case class IndexUnionSeg(name: String, idxs: Seq[Int]) extends Seg
+  private final case class SliceSeg(name: String, start: Option[Int],
+      end: Option[Int], step: Int) extends Seg
+  private final case class FieldUnionSeg(name: String, fields: Seq[String]) extends Seg
+  /** `.*` — every member value of the current object(s). */
+  private case object WildcardSeg extends Seg
+  /** `..name` — descend to every schema path whose parent holds a field
+    * `name` (exploding arrays along the way), then continue with the
+    * normal segments (the following segment consumes `name` itself). */
   private final case class DescendSeg(target: String) extends Seg
 
-  /** Parse the `$.students[*]` / `$['students'][*]` / `$.students[0]`
-    * subset — dot form plus bracket notation (single or double quotes) plus
-    * numeric indices, the shapes the reference accepts after its
-    * `$.`/bracket stripping (flexcore.py:261-264; the reference delegates
-    * the full grammar to jsonpath_ng, backend.py:408-447). Unsupported
-    * jsonpath_ng forms — recursive descent `$..`, filters `[?...]`, slices
-    * `[a:b]`, bare-word wildcard `.*` — are REJECTED loudly instead of
-    * being misread as field names. Bracket segments are normalized to dot
-    * form first. */
+  /** Parse the reference-parity JSONPath grammar (see [[loadJson]]).
+    * Bracket name access is normalized to dot form first
+    * (flexcore.py:261-264); the reference delegates the full grammar to
+    * base jsonpath_ng (backend.py:7,408-447). Forms base jsonpath_ng
+    * itself rejects — filters `[?...]` — are rejected here too; negative
+    * slice steps (order reversal, meaningless over an unordered row set)
+    * and top-level array indexing are rejected as out of scope. */
   private def parseJsonPath(p: String): Seq[Seg] = {
     import RmlCompiler.RmlError
-    // bounded recursive descent: a single LEADING `$..name` is supported
-    // (resolved against the inferred schema to its unique path, see
-    // loadJson); `..` anywhere else keeps the loud reject
-    if (p.startsWith("$..")) {
-      val rest = p.drop(3)
-      val ident = """^([A-Za-z_][A-Za-z0-9_]*)""".r
-      ident.findFirstIn(rest) match {
-        case Some(target) if !rest.contains("..") =>
-          return DescendSeg(target) +: parseJsonPath("$." + rest)
-        case _ =>
-          throw RmlError(s"unsupported JSONPath (recursive descent form): $p")
+    if (p.contains("[?"))
+      throw RmlError(
+        s"unsupported JSONPath (filter expression — base jsonpath_ng rejects these too): $p")
+    // single-name bracket access -> dot form; multi-name unions (quotes
+    // around each name) don't match the pattern and parse as brackets
+    val normalized = p.replaceAll("""\[\s*['"]([^'",\]]+)['"]\s*\]""", ".$1")
+    val trimmed = normalized.stripPrefix("$").stripPrefix(".")
+    if (trimmed.isEmpty) return Nil
+    if (trimmed.endsWith("."))
+      throw RmlError(s"unsupported JSONPath (trailing '.' / '..'): $p")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seg]
+    var pendingDescend = false
+    // split keeps interior empty strings: "a..b" -> ["a", "", "b"]; an
+    // empty segment is the '..' descent marker for the NEXT segment
+    for (seg <- trimmed.split('.')) {
+      if (seg.isEmpty) {
+        if (pendingDescend)
+          throw RmlError(s"unsupported JSONPath (consecutive descents '...'): $p")
+        pendingDescend = true
+      } else {
+        val parsed = parseSeg(seg, p)
+        if (pendingDescend) {
+          val target = seg.takeWhile(_ != '[')
+          if (target.isEmpty || parsed == WildcardSeg)
+            throw RmlError(s"unsupported JSONPath (descent into '$seg'): $p")
+          out += DescendSeg(target)
+          pendingDescend = false
+        }
+        out += parsed
       }
     }
-    if (p.contains(".."))
-      throw RmlError(s"unsupported JSONPath (recursive descent '..'): $p")
-    if (p.contains("[?"))
-      throw RmlError(s"unsupported JSONPath (filter expression): $p")
-    if ("""\[\s*[-0-9]*\s*:""".r.findFirstIn(p).isDefined)
-      throw RmlError(s"unsupported JSONPath (slice): $p")
-    val normalized = p.replaceAll("""\[\s*['"]([^'"\]]+)['"]\s*\]""", ".$1")
-    val trimmed = normalized.stripPrefix("$").stripPrefix(".")
-    // name group must be bracket-free: a compound segment like `a[*][0]`
-    // or `a[0][1]` must fall through to the loud-rejection branch, not be
-    // misread as a column named "a[*]"
-    val idxPat = """([^\[\]]*)\[(\d+)\]$""".r
-    if (trimmed.isEmpty) Nil
-    else trimmed.split('.').toSeq.filter(_.nonEmpty).map { seg =>
-      if (seg == "*") throw RmlError(s"unsupported JSONPath (wildcard member '*'): $p")
-      else if (seg.endsWith("[*]")) ArraySeg(seg.dropRight(3))
-      else seg match {
-        case idxPat(name, i) => IndexSeg(name, i.toInt)
-        case _ =>
-          if (seg.contains("[") || seg.contains("]"))
+    out.toSeq
+  }
+
+  private val bracketSeg = """([^\[\]]*)\[([^\[\]]*)\]""".r
+  private val intPat = """(-?\d+)""".r
+  private val intListPat = """(-?\d+(?:\s*,\s*-?\d+)+)""".r
+  private val slicePat = """(-?\d*):(-?\d*)(?::(-?\d*))?""".r
+  private val quotedListPat = """((?:\s*['"][^'"\]]*['"]\s*,?)+)""".r
+
+  private def parseSeg(seg: String, p: String): Seg = {
+    import RmlCompiler.RmlError
+    seg match {
+      case "*" => WildcardSeg
+      case bracketSeg(name, rawContent) =>
+        val content = rawContent.trim
+        content match {
+          case "*" => ArraySeg(name)
+          case intPat(i) => IndexSeg(name, i.toInt)
+          case intListPat(is) => IndexUnionSeg(name, is.split(',').toSeq.map(_.trim.toInt))
+          case slicePat(s, e, st) =>
+            val step = Option(st).filter(_.nonEmpty).map(_.toInt).getOrElse(1)
+            if (step <= 0)
+              throw RmlError(s"unsupported JSONPath (non-positive slice step $step): $p")
+            SliceSeg(name, Some(s).filter(_.nonEmpty).map(_.toInt),
+              Some(e).filter(_.nonEmpty).map(_.toInt), step)
+          case quotedListPat(qs) =>
+            val names = """['"]([^'"\]]*)['"]""".r.findAllMatchIn(qs).map(_.group(1)).toSeq
+            if (names.isEmpty)
+              throw RmlError(s"unsupported JSONPath segment '$seg' in: $p")
+            FieldUnionSeg(name, names)
+          case _ =>
             throw RmlError(s"unsupported JSONPath segment '$seg' in: $p")
-          FieldSeg(seg)
-      }
+        }
+      case _ =>
+        if (seg.contains("[") || seg.contains("]"))
+          throw RmlError(s"unsupported JSONPath segment '$seg' in: $p")
+        FieldSeg(seg)
     }
   }
 }

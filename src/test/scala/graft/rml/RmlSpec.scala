@@ -237,6 +237,34 @@ class RmlCompilerSpec extends SparkSpec {
       Set(("<http://e/1>", "\"Alice\""), ("<http://e/2>", "\"Bob\"")))
   }
 
+  test("slice + descent iterator drives a full RML mapping (execute path)") {
+    val dir = tmpDir("rml-json-slicemap")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"school": {"classes": [
+        |  {"students": [{"id": "1", "name": "Alice"}, {"id": "2", "name": "Bob"},
+        |                {"id": "3", "name": "Cara"}]},
+        |  {"students": [{"id": "4", "name": "Dan"}, {"id": "5", "name": "Eve"}]}
+        |]}}""".stripMargin)
+    val mapping =
+      s"""@prefix rml: <http://w3id.org/rml/> .
+         |<#A> rml:logicalSource [
+         |    rml:source [ rml:path "$dir/data.json" ] ;
+         |    rml:iterator "$$..students[1:]"
+         |  ] ;
+         |  rml:subjectMap [ rml:template "http://e/{id}" ] ;
+         |  rml:predicateObjectMap [
+         |    rml:predicate <http://e/name> ;
+         |    rml:objectMap [ rml:reference "name" ]
+         |  ] .
+         |""".stripMargin
+    import spark.implicits._
+    // every class's students but the first: Bob, Cara (class 1) + Eve (class 2)
+    val out = RmlMapper.execute(spark, mapping)
+    assert(out.select("s", "o").as[(String, String)].collect().toSet ==
+      Set(("<http://e/2>", "\"Bob\""), ("<http://e/3>", "\"Cara\""),
+        ("<http://e/5>", "\"Eve\"")))
+  }
+
   test("JSONPath bracket notation: $['students'][*] ≡ $.students[*] (flexcore.py:261-264)") {
     val dir = tmpDir("rml-json-br")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
@@ -272,14 +300,110 @@ class RmlCompilerSpec extends SparkSpec {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
       """{"a": [1, 2, 3]}""")
     for (bad <- Seq("$..name", // descent target absent from the schema
-        "$..a..b", // double descent is outside the bounded form
-        "$.a[?(@.x > 1)]", "$.a[0:2]", "$.*",
+        "$..a..b", // descent resolves, but `.b` then hits the array without [*]
+        "$.a[?(@.x > 1)]", // filters crash base jsonpath_ng in the reference too
+        "$.*", // wildcard member `a` is an array — needs explicit iteration
+        "$.a", // array match value needs [*]/index/slice
+        "$.a[::-1]", "$.a[::0]", // non-positive slice step (order reversal)
+        "$[0:2]", "$[1,2]", // top-level array index forms
+        "$.a..", // trailing descent
+        "$....a", // consecutive descents
         "$.a[*][0]", "$.a[0][1]"))
       assertThrows[RmlCompiler.RmlError](
         RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
   }
 
-  test("JSONPath bounded recursive descent: $..students resolves the unique nested path") {
+  test("JSONPath slices: Python bounds, negatives and step (jsonpath_ng base grammar)") {
+    val dir = tmpDir("rml-json-slice")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"students": [{"id": "1", "name": "Alice"}, {"id": "2", "name": "Bob"},
+        | {"id": "3", "name": "Cara"}], "s": [10, 20, 30, 40, 50]}""".stripMargin)
+    import spark.implicits._
+    def vals(path: String): Seq[String] =
+      RmlMapper.loadJson(spark, s"$dir/data.json", Some(path))
+        .select("value").as[String].collect().toSeq.sorted
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.students[0:2]"))
+      .select("name").as[String].collect().toSet == Set("Alice", "Bob"))
+    assert(vals("$.s[1:4]") == Seq("20", "30", "40"))
+    assert(vals("$.s[-2:]") == Seq("40", "50"))
+    assert(vals("$.s[::2]") == Seq("10", "30", "50"))
+    assert(vals("$.s[1:-1:2]") == Seq("20", "40"))
+    assert(vals("$.s[0:0]") == Seq.empty) // empty slice = zero matches
+    // a trailing field applies to each sliced element
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.students[1:3].name"))
+      .select("value").as[String].collect().toSet == Set("Bob", "Cara"))
+  }
+
+  test("JSONPath negative index and index unions") {
+    val dir = tmpDir("rml-json-iu")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"s": [10, 20, 30, 40, 50]}""")
+    import spark.implicits._
+    def vals(path: String): Seq[String] =
+      RmlMapper.loadJson(spark, s"$dir/data.json", Some(path))
+        .select("value").as[String].collect().toSeq.sorted
+    assert(vals("$.s[-1]") == Seq("50"))
+    assert(vals("$.s[0,2]") == Seq("10", "30"))
+    assert(vals("$.s[-1,0]") == Seq("10", "50"))
+    // multiset semantics: the same element matched twice = two rows
+    assert(vals("$.s[0,0]") == Seq("10", "10"))
+    // out-of-range members of a union contribute no matches
+    assert(vals("$.s[1,99]") == Seq("20"))
+  }
+
+  test("JSONPath member wildcard `.*` and field unions ['a','b']") {
+    val dir = tmpDir("rml-json-wild")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"b": {"c": {"name": "n1"}, "d": {"name": "n2", "extra": "x"}}}""")
+    import spark.implicits._
+    // object members union by keys; missing keys are NULL
+    val wild = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.b.*"))
+    assert(wild.columns.toSet == Set("name", "extra"))
+    assert(wild.select("name").as[String].collect().toSet == Set("n1", "n2"))
+    // wildcard then field: each member's `name`
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.b.*.name"))
+      .select("value").as[String].collect().toSet == Set("n1", "n2"))
+    // explicit field union ≡ wildcard here; order and subset forms
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.b['c','d']"))
+      .select("name").as[String].collect().toSet == Set("n1", "n2"))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.b['d']"))
+      .select("name").as[String].collect().toSet == Set("n2"))
+    // absent union members contribute nothing (jsonpath_ng semantics)
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.b['c','zzz']"))
+      .select("name").as[String].collect().toSet == Set("n1"))
+    // scalar-member wildcard stacks into `value`
+    val dir2 = tmpDir("rml-json-wild2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/data.json"),
+      """{"m": {"a": 1, "b": 2}}""")
+    assert(RmlMapper.loadJson(spark, s"$dir2/data.json", Some("$.m.*"))
+      .select("value").as[String].collect().toSet == Set("1", "2"))
+    // mixed object/scalar members are a loud reject, not a silent coercion
+    val dir3 = tmpDir("rml-json-wild3")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir3/data.json"),
+      """{"m": {"a": 1, "b": {"x": 2}}}""")
+    assertThrows[RmlCompiler.RmlError](
+      RmlMapper.loadJson(spark, s"$dir3/data.json", Some("$.m.*")))
+  }
+
+  test("JSONPath mid-path and multi-target recursive descent") {
+    val dir = tmpDir("rml-json-middesc")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"wrap": {"g0": {"items": [{"e": 0}, {"e": 3}, {"e": 6}, {"e": 9}, {"e": 12}]},
+        | "g1": {"items": [{"e": 1}, {"e": 4}, {"e": 7}]},
+        | "g2": {"items": [{"e": 2}, {"e": 5}, {"e": 8}, {"e": 11}]}}}""".stripMargin)
+    import spark.implicits._
+    // multi-target descent + slice with negative end + step, mid-path:
+    // jsonpath_ng: $.wrap..items[1:-1:2] -> e in {3, 9, 4, 5}
+    val sliced = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.wrap..items[1:-1:2]"))
+    assert(sliced.select("e").as[Long].collect().toSet == Set(3L, 9L, 4L, 5L))
+    // wildcard route to the same arrays: first element of each
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.wrap.*.items[0]"))
+      .select("e").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..items[0]"))
+      .select("e").as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
+  test("JSONPath recursive descent: $..students resolves nested paths (multi-target unions)") {
     val dir = tmpDir("rml-json-desc")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
       """{"school": {"year": 2024, "classes": [
@@ -294,13 +418,12 @@ class RmlCompilerSpec extends SparkSpec {
     // first student of EACH class (index applies per matched array)
     val firsts = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..students[0]"))
     assert(firsts.select("name").as[String].collect().toSet == Set("Alice", "Cara"))
-    // ambiguity fails loudly: two distinct paths hold a `name` field
+    // multiple parent paths = multiple jsonpath_ng matches: union them
     val dir2 = tmpDir("rml-json-amb")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/data.json"),
       """{"x": {"name": [{"v": "a"}]}, "y": {"name": [{"v": "b"}]}}""")
-    val e = intercept[RmlCompiler.RmlError](
-      RmlMapper.loadJson(spark, s"$dir2/data.json", Some("$..name[*]")))
-    assert(e.getMessage.contains("ambiguous"))
+    val multi = RmlMapper.loadJson(spark, s"$dir2/data.json", Some("$..name[*]"))
+    assert(multi.select("v").as[String].collect().toSet == Set("a", "b"))
   }
 
   test("library mode with raw CSV strings (flexcore.py:286-303)") {
