@@ -334,6 +334,47 @@ class RmlCompilerSpec extends SparkSpec {
       .select("value").as[String].collect().toSet == Set("Bob", "Cara"))
   }
 
+  test("JSONPath slice semantics equal Python slicing on randomized bounds") {
+    // pin the DataFrame path (posexplode + per-row clamped bounds) against
+    // direct Python-slice computation over seeded random arrays/bounds —
+    // catches Spark-side clamping/normalization bugs the fixed cases miss
+    val rnd = new scala.util.Random(42)
+    val dir = tmpDir("rml-json-sliceprop")
+    import spark.implicits._
+    def pySlice(xs: Vector[Int], s: Option[Int], e: Option[Int], step: Int): Vector[Int] = {
+      val n = xs.length
+      def clamp(v: Int) = if (v < 0) math.max(n + v, 0) else math.min(v, n)
+      val lo = s.map(clamp).getOrElse(0)
+      val hi = e.map(clamp).getOrElse(n)
+      (lo until hi).filter(i => (i - lo) % step == 0).map(xs).toVector
+    }
+    for (case_ <- 0 until 20) {
+      val n = rnd.nextInt(8) // incl. empty arrays
+      val xs = Vector.fill(n)(rnd.nextInt(1000))
+      val s = if (rnd.nextBoolean()) Some(rnd.nextInt(2 * n + 3) - (n + 1)) else None
+      val e = if (rnd.nextBoolean()) Some(rnd.nextInt(2 * n + 3) - (n + 1)) else None
+      val step = 1 + rnd.nextInt(3)
+      val f = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(dir), s"c$case_").resolve("d.json")
+      java.nio.file.Files.writeString(f, xs.mkString("""{"s": [""", ",", "]}"))
+      val path = s"$$.s[${s.getOrElse("")}:${e.getOrElse("")}:$step]"
+      val got =
+        if (n == 0) {
+          // Spark infers zero-element arrays as array<string>… but an empty
+          // array slices to zero matches regardless, so just assert count
+          RmlMapper.loadJson(spark, f.toString, Some(path)).count()
+        } else {
+          val vals = RmlMapper.loadJson(spark, f.toString, Some(path))
+            .select("value").as[String].collect().toVector.map(_.toInt).sorted
+          assert(vals == pySlice(xs, s, e, step).sorted,
+            s"case $case_: xs=$xs path=$path")
+          vals.length.toLong
+        }
+      assert(got == pySlice(xs, s, e, step).length.toLong,
+        s"case $case_ count: xs=$xs path=$path")
+    }
+  }
+
   test("JSONPath negative index and index unions") {
     val dir = tmpDir("rml-json-iu")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
