@@ -24,6 +24,17 @@ object Queries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Write a derived JSON doc for the loadJson-path queries; registered
+    * for JVM-exit cleanup so repeated harness runs don't accumulate
+    * temp directories. */
+  private def writeTempJson(json: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    val f = dir.resolve("doc.json")
+    java.nio.file.Files.writeString(f, json)
+    f.toFile.deleteOnExit(); dir.toFile.deleteOnExit()
+    f.toString
+  }
+
   val base = "http://ex.org/"
 
   // ---------------------------------------------------------------- queries
@@ -309,9 +320,7 @@ object Queries {
         .select("event_id", "user_id").collect()
       val json = rows.map(r => s"""{"event_id":${r.getLong(0)},"user_id":${r.getLong(1)}}""")
         .mkString("""{"events":[""", ",", "]}")
-      val f = java.nio.file.Files.createTempDirectory("graft-json").resolve("doc.json")
-      java.nio.file.Files.writeString(f, json)
-      graft.rml.RmlMapper.loadJson(s, f.toString, Some("$['events'][*]"))
+      graft.rml.RmlMapper.loadJson(s, writeTempJson(json), Some("$['events'][*]"))
         .select(col("event_id"), col("user_id"))
     }),
 
@@ -330,9 +339,7 @@ object Queries {
             .mkString("[", ",", "]")
           s""""g$g":{"items":$items}"""
         }.mkString("""{"wrap":{""", ",", "}}")
-      val f = java.nio.file.Files.createTempDirectory("graft-jsonpath").resolve("doc.json")
-      java.nio.file.Files.writeString(f, json)
-      graft.rml.RmlMapper.loadJson(s, f.toString, Some("$.wrap..items[1:-1:2]"))
+      graft.rml.RmlMapper.loadJson(s, writeTempJson(json), Some("$.wrap..items[1:-1:2]"))
         .select(col("event_id"), col("user_id"))
     }),
 

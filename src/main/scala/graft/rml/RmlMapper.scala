@@ -124,69 +124,126 @@ object RmlMapper {
     * inference); scalar matches become column `value` (reference
     * backend.py:408-447). The grammar matches what the reference's
     * `jsonpath_ng` (BASE grammar, backend.py:7) accepts: dot + bracket
-    * fields, `[*]`, numeric indices (incl. negative), Python slices
-    * `[a:b:c]` (positive step), member wildcard `.*`, index unions
-    * `[0,2]`, field unions `['a','b']`, and recursive descent `..name`
-    * at any position (schema-resolved; multiple target paths union).
-    * Filter expressions `[?...]` are a loud reject HERE AND in the
-    * reference (base jsonpath_ng lexes them as errors — only the
-    * unused `jsonpath_ng.ext` grammar has filters). */
+    * fields (quoted names may contain dots), `[*]`, numeric indices
+    * (incl. negative), Python slices `[a:b:c]` (positive step), member
+    * wildcard `.*`, index unions `[0,2]`, field unions `['a','b']`, and
+    * recursive descent `..name` at any position (schema-resolved;
+    * multiple target paths union). Filter expressions `[?...]` are a
+    * loud reject HERE AND in the reference (base jsonpath_ng lexes them
+    * as errors — only the unused `jsonpath_ng.ext` grammar has filters). */
   def loadJson(spark: SparkSession, path: String, iterator: Option[String]): DataFrame = {
     // multiLine handles a whole JSON document (object or array) per file
     val root = spark.read.option("multiLine", "true").json(path)
     iterator match {
       case None | Some("$") => root
-      case Some(it) => parseJsonPath(it).foldLeft(root)((df, seg) => applySeg(df, seg, it))
+      case Some(it) =>
+        val segs = parseJsonPath(it)
+        // jsonpath_ng field/wildcard access on an ARRAY-rooted document
+        // matches nothing (Fields falls through on lists); Spark has
+        // already row-ized the array, so silently treating elements as
+        // the root object would fabricate matches — reject loudly
+        // instead. `$[*]` (iterate the root array) and `..` descent
+        // (which DOES enter list elements in jsonpath_ng) stay valid.
+        segs.headOption match {
+          case Some(FieldSeg(_) | WildcardSeg | FieldUnionSeg(_, _)) if jsonRootIsArray(path) =>
+            throw RmlCompiler.RmlError(
+              s"JSONPath '$it': the document root is an array — field/wildcard access on an " +
+                "array root matches nothing in jsonpath_ng; iterate it with $[*] (or use ..descent)")
+          case _ =>
+        }
+        segs.foldLeft(root)((df, seg) => applySeg(df, seg, it))
     }
+  }
+
+  /** Peek the first non-whitespace byte: '[' = array-rooted document.
+    * Only meaningful for a single-file path (the reference's shape); any
+    * read trouble conservatively reports false. */
+  private def jsonRootIsArray(path: String): Boolean = {
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) false
+      else {
+        val in = new java.io.FileInputStream(f)
+        try {
+          val buf = new Array[Byte](512)
+          val n = in.read(buf)
+          (0 until math.max(n, 0)).iterator.map(buf(_).toChar)
+            .find(!_.isWhitespace).contains('[')
+        } finally in.close()
+      }
+    } catch { case _: Throwable => false }
   }
 
   import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   import org.apache.spark.sql.Column
 
+  /** Backtick-quote a field name for string-based column access when it
+    * contains anything beyond identifier characters (e.g. a literal dot
+    * from `$['a.b']`). */
+  private def q(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else "`" + name.replace("`", "``") + "`"
+
   /** Row-ize a single-column frame of match values: object matches widen
     * to union-of-keys columns, scalar matches become a `value` column
     * (reference preprocess_json, backend.py:430-447). A match that is
-    * itself an array needs an explicit `[*]`/index/slice to iterate. */
-  private def widen(matches: DataFrame, it: String): DataFrame = {
+    * itself an array needs an explicit `[*]`/index/slice to iterate.
+    * `what` names the offending construct in the array-reject message. */
+  private def widen(matches: DataFrame, it: String, what: String): DataFrame = {
     val c = matches.columns.head
     matches.schema.head.dataType match {
-      case _: StructType => matches.select(c + ".*")
+      case _: StructType => matches.select(q(c) + ".*")
       case _: ArrayType =>
         throw RmlCompiler.RmlError(
-          s"JSONPath '$it': match value is an array — append [*], an index or a slice to iterate it")
-      case _ => matches.select(col(c).cast("string").as("value"))
+          s"JSONPath '$it': $what is an array — append [*], an index or a slice to iterate it")
+      case _ => matches.select(col(q(c)).cast("string").as("value"))
     }
   }
+
+  /** Array segments ([*], [n], unions, slices) demand an ARRAY field of
+    * that name; absent or non-array → the same loud RmlError contract as
+    * field access (never a raw Spark AnalysisException). */
+  private def requireArrayField(df: DataFrame, name: String, it: String): Unit =
+    df.schema.find(_.name == name).map(_.dataType) match {
+      case Some(_: ArrayType) =>
+      case Some(other) =>
+        throw RmlCompiler.RmlError(
+          s"JSONPath '$it': field '$name' is ${other.simpleString}, not an array")
+      case None =>
+        throw RmlCompiler.RmlError(
+          s"JSONPath '$it': no field '$name' in the document schema")
+    }
 
   /** `$.a[i]` with Python negative-index semantics; out-of-range = NO
     * match (zero rows), not a phantom all-NULL record — `get()` (not
     * getItem: ANSI mode throws on out-of-bounds) yields NULL there. */
   private def indexSelect(df: DataFrame, name: String, idx: Int): DataFrame = {
-    val arr = col(name)
+    val arr = col(q(name))
     val at = if (idx >= 0) lit(idx) else size(arr) + idx
     df.select(get(arr, at).as("_row")).filter(col("_row").isNotNull)
   }
 
-  /** Union the member VALUES of struct members `paths` (wildcard `.*` and
-    * field unions `['a','b']`): struct members widen and union by name
-    * (union-of-keys, missing → NULL), scalar members stack into `value`.
-    * Mixed struct/scalar or array members are rejected loudly. */
-  private def memberUnion(df: DataFrame, members: Seq[(String, DataType)],
+  /** Union the member VALUES at struct-field paths `members` (wildcard
+    * `.*` and field unions `['a','b']`): struct members widen and union
+    * by name (union-of-keys, missing → NULL), scalar members stack into
+    * `value`. Mixed struct/scalar or array members are rejected loudly.
+    * Each member is (pre-quoted access path, display path, type). */
+  private def memberUnion(df: DataFrame, members: Seq[(String, String, DataType)],
       it: String): DataFrame = {
     def kind(dt: DataType) = dt match {
       case _: StructType => "object"
       case _: ArrayType => "array"
       case _ => "scalar"
     }
-    members.find(m => kind(m._2) == "array").foreach { case (p, _) =>
+    members.find(m => kind(m._3) == "array").foreach { case (_, disp, _) =>
       throw RmlCompiler.RmlError(
-        s"JSONPath '$it': member '$p' is an array — iterate it explicitly with [*]/index/slice")
+        s"JSONPath '$it': member '$disp' is an array — iterate it explicitly with [*]/index/slice")
     }
-    if (members.map(m => kind(m._2)).distinct.size > 1)
+    if (members.map(m => kind(m._3)).distinct.size > 1)
       throw RmlCompiler.RmlError(
         s"JSONPath '$it': wildcard/union mixes object and scalar members (" +
-          members.map(m => s"${m._1}:${kind(m._2)}").mkString(", ") + ")")
-    val frames = members.map { case (p, dt) =>
+          members.map(m => s"${m._2}:${kind(m._3)}").mkString(", ") + ")")
+    val frames = members.map { case (p, _, dt) =>
       dt match {
         case _: StructType => df.select(col(p + ".*"))
         case _ => df.select(col(p).cast("string").as("value"))
@@ -205,7 +262,7 @@ object RmlMapper {
     * is a struct (possibly behind arrays). */
   private def navigateParent(df: DataFrame, path: List[String]): DataFrame =
     path.foldLeft(df) { (d, fname) =>
-      var cur = d.select(col(fname).as("_d"))
+      var cur = d.select(col(q(fname)).as("_d"))
       while (cur.schema.head.dataType.isInstanceOf[ArrayType])
         cur = cur.select(explode(col("_d")).as("_d"))
       cur.select("_d.*")
@@ -215,27 +272,32 @@ object RmlMapper {
     case ArraySeg(name) if name.isEmpty =>
       df // top-level array: Spark's json reader already row-izes it
     case ArraySeg(name) =>
-      widen(df.select(explode(col(name)).as("_row")), it)
+      requireArrayField(df, name, it)
+      widen(df.select(explode(col(q(name))).as("_row")), it, s"an element of '$name'")
     case IndexSeg(name, idx) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (index on top-level array): $it")
-      widen(indexSelect(df, name, idx), it)
+      requireArrayField(df, name, it)
+      widen(indexSelect(df, name, idx), it, s"'$name[$idx]'")
     case IndexUnionSeg(name, idxs) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (index union on top-level array): $it")
+      requireArrayField(df, name, it)
       // one frame per index, unioned — preserves jsonpath_ng's multiset
       // semantics ($.s[0,0] matches the element twice)
-      widen(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it)
+      widen(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it,
+        s"an element of '$name'")
     case SliceSeg(name, startO, endO, step) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (slice on top-level array): $it")
+      requireArrayField(df, name, it)
       // Python slice semantics against the per-row array length: negative
       // bounds count from the end, omitted bounds span the array, step
       // strides from the (normalized) start
-      val arr = col(name)
+      val arr = col(q(name))
       val exploded = df.select(size(arr).as("_n"), posexplode(arr).as(Seq("_i", "_row")))
       val n = col("_n")
       def norm(v: Int): Column = if (v < 0) greatest(n + v, lit(0)) else least(lit(v), n)
@@ -244,10 +306,10 @@ object RmlMapper {
       val kept = exploded
         .filter(col("_i") >= lo && col("_i") < hi && (col("_i") - lo) % step === 0)
         .select(col("_row"))
-      widen(kept, it)
+      widen(kept, it, s"an element of '$name'")
     case WildcardSeg =>
       // `.*`: every member value of the current object(s) becomes a match
-      memberUnion(df, df.schema.fields.toSeq.map(f => (f.name, f.dataType)), it)
+      memberUnion(df, df.schema.fields.toSeq.map(f => (q(f.name), f.name, f.dataType)), it)
     case FieldUnionSeg(name, fields) =>
       val base = if (name.isEmpty) df.schema
       else df.schema.find(_.name == name).map(_.dataType) match {
@@ -258,21 +320,18 @@ object RmlMapper {
         case None =>
           throw RmlCompiler.RmlError(s"JSONPath '$it': no field '$name' in the document schema")
       }
-      val prefix = if (name.isEmpty) "" else name + "."
+      val (ap, dp) = if (name.isEmpty) ("", "") else (q(name) + ".", name + ".")
       // a listed member absent from the schema = no match for it
       // (jsonpath_ng semantics: $.b['c','zzz'] yields just c's value)
-      val present = fields.flatMap(f => base.find(_.name == f).map(sf => (prefix + f, sf.dataType)))
+      val present = fields.flatMap(f =>
+        base.find(_.name == f).map(sf => (ap + q(f), dp + f, sf.dataType)))
       if (present.isEmpty)
         throw RmlCompiler.RmlError(
           s"JSONPath '$it': none of the union fields ${fields.mkString("['", "','", "']")} exist in the document schema")
       memberUnion(df, present, it)
     case FieldSeg(name) =>
-      df.schema.find(_.name == name).map(_.dataType) match {
-        case Some(_: StructType) => df.select(col(name + ".*"))
-        case Some(_: ArrayType) =>
-          throw RmlCompiler.RmlError(
-            s"JSONPath '$it': field '$name' is an array — append [*], an index or a slice to iterate it")
-        case Some(_) => df.select(col(name).cast("string").as("value"))
+      df.schema.find(_.name == name) match {
+        case Some(_) => widen(df.select(col(q(name)).as("_row")), it, s"field '$name'")
         case None =>
           throw RmlCompiler.RmlError(
             s"JSONPath '$it': no field '$name' in the document schema")
@@ -322,83 +381,151 @@ object RmlMapper {
     * normal segments (the following segment consumes `name` itself). */
   private final case class DescendSeg(target: String) extends Seg
 
+  /** Split the path into dot-level tokens, respecting brackets and quoted
+    * names (a quoted name may contain dots/commas). An empty token marks
+    * a `..` descent applying to the next token. */
+  private def lexJsonPath(p: String): Seq[String] = {
+    import RmlCompiler.RmlError
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    for (c <- p) {
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' if depth > 0 => quote = c; cur += c
+        case '[' => depth += 1; cur += c
+        case ']' =>
+          depth -= 1
+          if (depth < 0) throw RmlError(s"unsupported JSONPath (unbalanced ']'): $p")
+          cur += c
+        case '.' if depth == 0 => toks += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (depth != 0 || quote != 0)
+      throw RmlError(s"unsupported JSONPath (unterminated bracket or quote): $p")
+    toks += cur.result()
+    // "$.a" lexes to ["", "a"] — drop the one leading empty from the "$."
+    // form so only a SECOND dot ("$..a") reads as a descent marker
+    val t = toks.toSeq
+    if (t.headOption.contains("")) t.drop(1) else t
+  }
+
   /** Parse the reference-parity JSONPath grammar (see [[loadJson]]).
-    * Bracket name access is normalized to dot form first
-    * (flexcore.py:261-264); the reference delegates the full grammar to
-    * base jsonpath_ng (backend.py:7,408-447). Forms base jsonpath_ng
-    * itself rejects — filters `[?...]` — are rejected here too; negative
-    * slice steps (order reversal, meaningless over an unordered row set)
-    * and top-level array indexing are rejected as out of scope. */
+    * The reference strips `$.`/brackets at flexcore.py:261-264 and
+    * delegates the full grammar to base jsonpath_ng (backend.py:7,
+    * 408-447). Forms base jsonpath_ng itself rejects — filters `[?...]`
+    * — are rejected here too; negative slice steps (order reversal,
+    * meaningless over an unordered row set), top-level array indexing,
+    * and chained array access `a[*][0]` are rejected as out of scope. */
   private def parseJsonPath(p: String): Seq[Seg] = {
     import RmlCompiler.RmlError
     if (p.contains("[?"))
       throw RmlError(
         s"unsupported JSONPath (filter expression — base jsonpath_ng rejects these too): $p")
-    // single-name bracket access -> dot form; multi-name unions (quotes
-    // around each name) don't match the pattern and parse as brackets
-    val normalized = p.replaceAll("""\[\s*['"]([^'",\]]+)['"]\s*\]""", ".$1")
-    val trimmed = normalized.stripPrefix("$").stripPrefix(".")
-    if (trimmed.isEmpty) return Nil
-    if (trimmed.endsWith("."))
-      throw RmlError(s"unsupported JSONPath (trailing '.' / '..'): $p")
+    val stripped = p.stripPrefix("$")
+    if (stripped.isEmpty) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[Seg]
     var pendingDescend = false
-    // split keeps interior empty strings: "a..b" -> ["a", "", "b"]; an
-    // empty segment is the '..' descent marker for the NEXT segment
-    for (seg <- trimmed.split('.')) {
-      if (seg.isEmpty) {
+    for (tok <- lexJsonPath(stripped)) {
+      if (tok.isEmpty) {
         if (pendingDescend)
           throw RmlError(s"unsupported JSONPath (consecutive descents '...'): $p")
         pendingDescend = true
       } else {
-        val parsed = parseSeg(seg, p)
+        val segs = parseToken(tok, p)
         if (pendingDescend) {
-          val target = seg.takeWhile(_ != '[')
-          if (target.isEmpty || parsed == WildcardSeg)
-            throw RmlError(s"unsupported JSONPath (descent into '$seg'): $p")
+          val target = segs.head match {
+            case FieldSeg(n) => n
+            case ArraySeg(n) => n
+            case IndexSeg(n, _) => n
+            case IndexUnionSeg(n, _) => n
+            case SliceSeg(n, _, _, _) => n
+            case FieldUnionSeg(n, _) => n
+            case _ => ""
+          }
+          if (target.isEmpty)
+            throw RmlError(s"unsupported JSONPath (descent into '$tok'): $p")
           out += DescendSeg(target)
           pendingDescend = false
         }
-        out += parsed
+        out ++= segs
       }
     }
+    if (pendingDescend)
+      throw RmlError(s"unsupported JSONPath (trailing '.' or '..'): $p")
     out.toSeq
   }
 
-  private val bracketSeg = """([^\[\]]*)\[([^\[\]]*)\]""".r
+  private val tokenPat = """([^\[\]]*)((?:\[[^\[\]]*\])*)""".r
+  private val groupPat = """\[([^\[\]]*)\]""".r
+  private val quotedSingle = """\s*(['"])([^'"]*)\1\s*""".r
   private val intPat = """(-?\d+)""".r
   private val intListPat = """(-?\d+(?:\s*,\s*-?\d+)+)""".r
   private val slicePat = """(-?\d*):(-?\d*)(?::(-?\d*))?""".r
-  private val quotedListPat = """((?:\s*['"][^'"\]]*['"]\s*,?)+)""".r
+  private val quotedListPat = """((?:\s*['"][^'"]*['"]\s*,?)+)""".r
 
-  private def parseSeg(seg: String, p: String): Seg = {
+  /** Expand one dot-level token (name + bracket groups) into segments:
+    * a quoted-single group `['x']` is sugar for `.x`; one (final or
+    * field-followed) array-ish group binds to the preceding name. */
+  private def parseToken(tok: String, p: String): Seq[Seg] = {
     import RmlCompiler.RmlError
-    seg match {
-      case "*" => WildcardSeg
-      case bracketSeg(name, rawContent) =>
-        val content = rawContent.trim
-        content match {
-          case "*" => ArraySeg(name)
-          case intPat(i) => IndexSeg(name, i.toInt)
-          case intListPat(is) => IndexUnionSeg(name, is.split(',').toSeq.map(_.trim.toInt))
-          case slicePat(s, e, st) =>
-            val step = Option(st).filter(_.nonEmpty).map(_.toInt).getOrElse(1)
-            if (step <= 0)
-              throw RmlError(s"unsupported JSONPath (non-positive slice step $step): $p")
-            SliceSeg(name, Some(s).filter(_.nonEmpty).map(_.toInt),
-              Some(e).filter(_.nonEmpty).map(_.toInt), step)
-          case quotedListPat(qs) =>
-            val names = """['"]([^'"\]]*)['"]""".r.findAllMatchIn(qs).map(_.group(1)).toSeq
-            if (names.isEmpty)
-              throw RmlError(s"unsupported JSONPath segment '$seg' in: $p")
-            FieldUnionSeg(name, names)
-          case _ =>
-            throw RmlError(s"unsupported JSONPath segment '$seg' in: $p")
-        }
+    val (namePart, groupsPart) = tok match {
+      case tokenPat(n, g) => (n, g)
+      case _ => throw RmlError(s"unsupported JSONPath segment '$tok' in: $p")
+    }
+    val groups = groupPat.findAllMatchIn(groupsPart).map(_.group(1)).toList
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seg]
+    var pending = namePart
+    var pendingIsName = namePart.nonEmpty // distinguish `a[...]` from `[...]`
+    def flushPending(): Unit = if (pendingIsName) {
+      out += (if (pending == "*") WildcardSeg else FieldSeg(pending))
+      pending = ""; pendingIsName = false
+    }
+    if (!pendingIsName && groups.isEmpty) {
+      // bare dot segment: field or wildcard
+      return Seq(if (tok == "*") WildcardSeg else FieldSeg(tok))
+    }
+    if (pendingIsName && pending.contains("]"))
+      throw RmlError(s"unsupported JSONPath segment '$tok' in: $p")
+    for (g <- groups) g match {
+      case quotedSingle(_, name) =>
+        flushPending()
+        pending = name; pendingIsName = true
       case _ =>
-        if (seg.contains("[") || seg.contains("]"))
-          throw RmlError(s"unsupported JSONPath segment '$seg' in: $p")
-        FieldSeg(seg)
+        // an array-ish group consumes the pending name as the array field
+        val name = if (pendingIsName) pending else ""
+        if (!pendingIsName && out.nonEmpty)
+          throw RmlError(
+            s"unsupported JSONPath (chained array access '$tok' — one index/slice per field): $p")
+        out += parseBracket(name, g.trim, p)
+        pending = ""; pendingIsName = false
+    }
+    flushPending()
+    if (out.isEmpty) throw RmlError(s"unsupported JSONPath segment '$tok' in: $p")
+    out.toSeq
+  }
+
+  private def parseBracket(name: String, content: String, p: String): Seg = {
+    import RmlCompiler.RmlError
+    content match {
+      case "*" => ArraySeg(name)
+      case intPat(i) => IndexSeg(name, i.toInt)
+      case intListPat(is) => IndexUnionSeg(name, is.split(',').toSeq.map(_.trim.toInt))
+      case slicePat(s, e, st) =>
+        val step = Option(st).filter(_.nonEmpty).map(_.toInt).getOrElse(1)
+        if (step <= 0)
+          throw RmlError(s"unsupported JSONPath (non-positive slice step $step): $p")
+        SliceSeg(name, Some(s).filter(_.nonEmpty).map(_.toInt),
+          Some(e).filter(_.nonEmpty).map(_.toInt), step)
+      case quotedListPat(qs) =>
+        val names = """['"]([^'"]*)['"]""".r.findAllMatchIn(qs).map(_.group(1)).toSeq
+        if (names.isEmpty)
+          throw RmlError(s"unsupported JSONPath segment '[$content]' in: $p")
+        FieldUnionSeg(name, names)
+      case _ =>
+        throw RmlError(s"unsupported JSONPath segment '[$content]' in: $p")
     }
   }
 }

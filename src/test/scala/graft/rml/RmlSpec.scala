@@ -308,9 +308,47 @@ class RmlCompilerSpec extends SparkSpec {
         "$[0:2]", "$[1,2]", // top-level array index forms
         "$.a..", // trailing descent
         "$....a", // consecutive descents
+        "$.missing[*]", "$.missing[0]", "$.missing[1:3]", "$.missing[0,2]", // absent field: RmlError, never a raw AnalysisException
         "$.a[*][0]", "$.a[0][1]"))
       assertThrows[RmlCompiler.RmlError](
         RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
+  }
+
+  test("array-rooted documents: $[*] iterates; field/wildcard access rejects (jsonpath_ng parity)") {
+    val dir = tmpDir("rml-json-arrroot")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """[{"a": 1, "b": {"c": 7}}, {"a": 2, "b": {"c": 8}}]""")
+    import spark.implicits._
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$[*]"))
+      .select("a").as[Long].collect().toSet == Set(1L, 2L))
+    // jsonpath_ng Fields('*')/Fields('a') on a list match NOTHING; Spark
+    // has row-ized the array, so fabricating matches would be silent
+    // divergence — loud reject instead
+    for (bad <- Seq("$.*", "$.a", "$['a','b']"))
+      assertThrows[RmlCompiler.RmlError](
+        RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
+    // ..descent DOES enter list elements in jsonpath_ng — stays valid
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..c"))
+      .select("value").as[String].collect().toSet == Set("7", "8"))
+  }
+
+  test("quoted bracket names: descent form, literal dots, chained access") {
+    val dir = tmpDir("rml-json-quoted")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"school": {"a.b": "dotted", "classes": [
+        |  {"students": [{"id": "1"}, {"id": "2"}]}]}}""".stripMargin)
+    import spark.implicits._
+    // bracket-notation descent ≡ dot-notation descent
+    for (path <- Seq("$..['students'][*]", "$..students[*]"))
+      assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some(path))
+        .select("id").as[String].collect().toSet == Set("1", "2"), s"path: $path")
+    // a quoted name containing a literal dot is ONE field, not a nested path
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.school['a.b']"))
+      .select("value").as[String].collect().toSeq == Seq("dotted"))
+    // index-then-field chain in one bracket token
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json",
+        Some("$.school.classes[0]['students'][1]"))
+      .select("id").as[String].collect().toSeq == Seq("2"))
   }
 
   test("JSONPath slices: Python bounds, negatives and step (jsonpath_ng base grammar)") {
