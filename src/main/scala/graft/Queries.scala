@@ -31,7 +31,9 @@ object Queries {
     val dir = java.nio.file.Files.createTempDirectory("graft-json")
     val f = dir.resolve("doc.json")
     java.nio.file.Files.writeString(f, json)
-    f.toFile.deleteOnExit(); dir.toFile.deleteOnExit()
+    // dir registered FIRST: DeleteOnExitHook deletes in reverse
+    // registration order, so the file goes before its parent dir
+    dir.toFile.deleteOnExit(); f.toFile.deleteOnExit()
     f.toString
   }
 

@@ -138,19 +138,27 @@ object RmlMapper {
       case None | Some("$") => root
       case Some(it) =>
         val segs = parseJsonPath(it)
-        // jsonpath_ng field/wildcard access on an ARRAY-rooted document
-        // matches nothing (Fields falls through on lists); Spark has
-        // already row-ized the array, so silently treating elements as
-        // the root object would fabricate matches — reject loudly
-        // instead. `$[*]` (iterate the root array) and `..` descent
-        // (which DOES enter list elements in jsonpath_ng) stay valid.
-        segs.headOption match {
-          case Some(FieldSeg(_) | WildcardSeg | FieldUnionSeg(_, _)) if jsonRootIsArray(path) =>
-            throw RmlCompiler.RmlError(
-              s"JSONPath '$it': the document root is an array — field/wildcard access on an " +
-                "array root matches nothing in jsonpath_ng; iterate it with $[*] (or use ..descent)")
-          case _ =>
+        // jsonpath_ng field access on an ARRAY-rooted document matches
+        // nothing (Fields falls through on lists) — and that includes
+        // every named form: $.a, $.*, $['a','b'], $.a[*], $.a[0],
+        // $.a[0,1], $.a[1:3] all start with Fields and so all match
+        // NOTHING on an array root. Spark has already row-ized the
+        // array, so silently treating elements as the root object would
+        // fabricate matches — reject loudly instead. `$[*]` (iterate
+        // the root array) and `..` descent (which DOES enter list
+        // elements in jsonpath_ng) stay valid.
+        val headIsFieldAccess = segs.headOption.exists {
+          case FieldSeg(_) | WildcardSeg | FieldUnionSeg(_, _) => true
+          case ArraySeg(n) => n.nonEmpty
+          case IndexSeg(n, _) => n.nonEmpty
+          case IndexUnionSeg(n, _) => n.nonEmpty
+          case SliceSeg(n, _, _, _) => n.nonEmpty
+          case _ => false
         }
+        if (headIsFieldAccess && jsonRootIsArray(path))
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': the document root is an array — field access on an " +
+              "array root matches nothing in jsonpath_ng; iterate it with $[*] (or use ..descent)")
         segs.foldLeft(root)((df, seg) => applySeg(df, seg, it))
     }
   }
@@ -215,12 +223,19 @@ object RmlMapper {
     }
 
   /** `$.a[i]` with Python negative-index semantics; out-of-range = NO
-    * match (zero rows), not a phantom all-NULL record — `get()` (not
-    * getItem: ANSI mode throws on out-of-bounds) yields NULL there. */
+    * match (zero rows), not a phantom all-NULL record. The no-match
+    * filter is on the normalized INDEX vs the array length — not on the
+    * value — so a genuine JSON null element at an in-range position IS
+    * a match (jsonpath_ng matches None there), consistent with the
+    * slice path's posexplode. `get()` (not getItem) because ANSI mode
+    * throws on out-of-bounds. A null/absent array: size() is NULL under
+    * ANSI, the range predicate is NULL, the row drops — no match. */
   private def indexSelect(df: DataFrame, name: String, idx: Int): DataFrame = {
     val arr = col(q(name))
     val at = if (idx >= 0) lit(idx) else size(arr) + idx
-    df.select(get(arr, at).as("_row")).filter(col("_row").isNotNull)
+    df.select(get(arr, at).as("_row"), at.as("_at"), size(arr).as("_n"))
+      .filter(col("_at") >= 0 && col("_at") < col("_n"))
+      .select("_row")
   }
 
   /** Union the member VALUES at struct-field paths `members` (wildcard
@@ -331,7 +346,17 @@ object RmlMapper {
       memberUnion(df, present, it)
     case FieldSeg(name) =>
       df.schema.find(_.name == name) match {
-        case Some(_) => widen(df.select(col(q(name)).as("_row")), it, s"field '$name'")
+        case Some(_) =>
+          // Null values are NO match, not a phantom all-NULL record:
+          // after a union-of-keys stage (wildcard/union/descent) a
+          // member lacking this field carries NULL here, and jsonpath_ng
+          // yields no match for an absent key. Spark's schema union
+          // cannot distinguish that from a present-but-null key (which
+          // jsonpath_ng DOES match, as None) — we drop both; an explicit
+          // JSON null would be discarded by RML null-skip downstream
+          // anyway (reference definitions.h:6).
+          widen(df.select(col(q(name)).as("_row")).filter(col("_row").isNotNull),
+            it, s"field '$name'")
         case None =>
           throw RmlCompiler.RmlError(
             s"JSONPath '$it': no field '$name' in the document schema")

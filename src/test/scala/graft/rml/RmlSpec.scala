@@ -330,6 +330,48 @@ class RmlCompilerSpec extends SparkSpec {
     // ..descent DOES enter list elements in jsonpath_ng — stays valid
     assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..c"))
       .select("value").as[String].collect().toSet == Set("7", "8"))
+    // the guard must also cover ARRAY access heads: $.a[*]/$.a[0]/slices/
+    // unions all start with Fields('a') in jsonpath_ng and match NOTHING
+    // on an array root — without the reject, Spark's row-ized read would
+    // fabricate [1,2,3] for each of these
+    val dir2 = tmpDir("rml-json-arrroot2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/data.json"),
+      """[{"a": [1, 2]}, {"a": [3]}]""")
+    for (bad <- Seq("$.a[*]", "$.a[0]", "$.a[0:2]", "$.a[0,1]"))
+      assertThrows[RmlCompiler.RmlError](
+        RmlMapper.loadJson(spark, s"$dir2/data.json", Some(bad)))
+    // but the same forms via descent are real matches
+    assert(RmlMapper.loadJson(spark, s"$dir2/data.json", Some("$..a[*]"))
+      .select("value").as[String].collect().toSet == Set("1", "2", "3"))
+  }
+
+  test("null semantics: null elements match by index AND slice; absent/null fields never phantom-match") {
+    val dir = tmpDir("rml-json-nulls")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"s": [null, 2]}""")
+    import spark.implicits._
+    // jsonpath_ng matches None at an in-range position for BOTH access
+    // forms; only out-of-range is no-match (pinned against jsonpath_ng:
+    // $.s[0] -> [None], $.s[0:1] -> [None], $.s[5] -> [])
+    val byIdx = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[0]"))
+    assert(byIdx.collect().map(_.isNullAt(0)).toSeq == Seq(true))
+    val bySlice = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[0:1]"))
+    assert(bySlice.collect().map(_.isNullAt(0)).toSeq == Seq(true))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[0:2]"))
+      .select("value").as[String].collect().toSet == Set(null, "2"))
+    // out-of-range NEGATIVE index: base jsonpath_ng itself raises an
+    // unhandled IndexError here (jsonpath.py _find_base indexes the list
+    // directly), i.e. the reference crashes — graceful no-match is our
+    // documented superset of that behavior
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[-5]")).count() == 0)
+    // a union-of-keys stage manufactures NULL for members lacking the
+    // field; a following FieldSeg must NOT phantom-match them
+    // (jsonpath_ng: $.b.*.name -> ['n1'], no None entry)
+    val dir2 = tmpDir("rml-json-nulls2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/data.json"),
+      """{"b": {"c": {"name": "n1"}, "d": {"extra": "x"}}}""")
+    assert(RmlMapper.loadJson(spark, s"$dir2/data.json", Some("$.b.*.name"))
+      .select("value").as[String].collect().toSeq == Seq("n1"))
   }
 
   test("quoted bracket names: descent form, literal dots, chained access") {
