@@ -128,9 +128,14 @@ object RmlMapper {
     * (incl. negative), Python slices `[a:b:c]` (positive step), member
     * wildcard `.*`, index unions `[0,2]`, field unions `['a','b']`, and
     * recursive descent `..name` at any position (schema-resolved;
-    * multiple target paths union). Filter expressions `[?...]` are a
-    * loud reject HERE AND in the reference (base jsonpath_ng lexes them
-    * as errors — only the unused `jsonpath_ng.ext` grammar has filters). */
+    * multiple target paths union). jsonpath_ng's singleton-wrap quirk is
+    * honored: `[*]` and slices on a NON-list value treat it as a
+    * one-element list (`$.o[*]` matches the object itself). Filter
+    * expressions `[?...]` are a loud reject HERE AND in the reference
+    * (base jsonpath_ng lexes them as errors — only the unused
+    * `jsonpath_ng.ext` grammar has filters); numeric indexing a
+    * non-array is a loud reject too (base jsonpath_ng CHAR-indexes
+    * strings and raises TypeError/KeyError otherwise). */
   def loadJson(spark: SparkSession, path: String, iterator: Option[String]): DataFrame = {
     // multiLine handles a whole JSON document (object or array) per file
     val root = spark.read.option("multiLine", "true").json(path)
@@ -159,7 +164,7 @@ object RmlMapper {
           throw RmlCompiler.RmlError(
             s"JSONPath '$it': the document root is an array — field access on an " +
               "array root matches nothing in jsonpath_ng; iterate it with $[*] (or use ..descent)")
-        segs.foldLeft(root)((df, seg) => applySeg(df, seg, it))
+        applyAll(root, segs.toList, it)
     }
   }
 
@@ -208,9 +213,24 @@ object RmlMapper {
     }
   }
 
-  /** Array segments ([*], [n], unions, slices) demand an ARRAY field of
-    * that name; absent or non-array → the same loud RmlError contract as
-    * field access (never a raw Spark AnalysisException). */
+  /** True iff `name` is an ARRAY field; absent fields throw the loud
+    * no-field RmlError. Non-array presence routes [*]/slices to the
+    * jsonpath_ng singleton-wrap quirk in [[applySeg]]. */
+  private def isArrayField(df: DataFrame, name: String, it: String): Boolean =
+    df.schema.find(_.name == name).map(_.dataType) match {
+      case Some(_: ArrayType) => true
+      case Some(_) => false
+      case None =>
+        throw RmlCompiler.RmlError(
+          s"JSONPath '$it': no field '$name' in the document schema")
+    }
+
+  /** Numeric index/index-union segments demand an ARRAY field of that
+    * name; absent or non-array → the same loud RmlError contract as
+    * field access (never a raw Spark AnalysisException). Base
+    * jsonpath_ng on a non-list here CHAR-indexes strings and crashes on
+    * anything else (TypeError/KeyError) — a loud reject is our
+    * documented boundary for that. */
   private def requireArrayField(df: DataFrame, name: String, it: String): Unit =
     df.schema.find(_.name == name).map(_.dataType) match {
       case Some(_: ArrayType) =>
@@ -286,8 +306,12 @@ object RmlMapper {
   private def applySeg(df: DataFrame, seg: Seg, it: String): DataFrame = seg match {
     case ArraySeg(name) if name.isEmpty =>
       df // top-level array: Spark's json reader already row-izes it
+    case ArraySeg(name) if !isArrayField(df, name, it) =>
+      // base jsonpath_ng Slice quirk: [*] on a NON-list wraps the value
+      // in a singleton list, so it matches the value itself — same as
+      // plain field access ($.o[*] matches the dict, $.s[*] the string)
+      applySeg(df, FieldSeg(name), it)
     case ArraySeg(name) =>
-      requireArrayField(df, name, it)
       widen(df.select(explode(col(q(name))).as("_row")), it, s"an element of '$name'")
     case IndexSeg(name, idx) =>
       if (name.isEmpty)
@@ -304,11 +328,18 @@ object RmlMapper {
       // semantics ($.s[0,0] matches the element twice)
       widen(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it,
         s"an element of '$name'")
+    case SliceSeg(name, startO, endO, _) if name.nonEmpty && !isArrayField(df, name, it) =>
+      // singleton-wrap quirk for slices too: jsonpath_ng slices [value],
+      // so the value matches iff the normalized window includes index 0
+      // of a length-1 list — statically start<=0 (or omitted) and end>=1
+      // (or omitted); step never matters for the single element
+      val hit = startO.forall(_ <= 0) && endO.forall(_ >= 1)
+      val base = applySeg(df, FieldSeg(name), it)
+      if (hit) base else base.where(lit(false))
     case SliceSeg(name, startO, endO, step) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (slice on top-level array): $it")
-      requireArrayField(df, name, it)
       // Python slice semantics against the per-row array length: negative
       // bounds count from the end, omitted bounds span the array, step
       // strides from the (normalized) start
@@ -361,11 +392,28 @@ object RmlMapper {
           throw RmlCompiler.RmlError(
             s"JSONPath '$it': no field '$name' in the document schema")
       }
-    case DescendSeg(target) =>
-      // schema-resolved `..target`: find every parent path whose struct
-      // holds a field `target` (descending through arrays). Multiple
-      // parent paths = multiple jsonpath_ng matches → union-of-keys union
-      // (missing columns NULL); conflicting shapes fail loudly.
+    case DescendSeg(_) =>
+      throw new IllegalStateException("DescendSeg is handled by applyAll") // unreachable
+  }
+
+  /** Apply the segment list left to right. Descent is handled HERE, not
+    * in [[applySeg]]: `..target` resolves to every schema path whose
+    * parent struct holds a field `target` (descending through arrays),
+    * and with MULTIPLE parent paths the REMAINING segments apply to each
+    * branch independently before the final frames union — jsonpath_ng
+    * applies trailing segments per match instance, so branches may hold
+    * the target under conflicting shapes (scalar here, struct there) as
+    * long as each branch's own application is consistent. A branch whose
+    * remaining segments don't fit its shape (array access on a scalar,
+    * absent member) contributes NO matches — jsonpath_ng's fall-through
+    * — unless EVERY branch fails, which rethrows the first error. Final
+    * frames union by key (missing → NULL); mixing scalar-final and
+    * object-final branches is rejected loudly (an RML iterator needs one
+    * record shape). Single-parent descent keeps loud errors: the only
+    * possible instance shape conflicts with the path. */
+  private def applyAll(df: DataFrame, segs: List[Seg], it: String): DataFrame = segs match {
+    case Nil => df
+    case DescendSeg(target) :: rest =>
       def paths(dt: DataType, prefix: List[String]): List[List[String]] = dt match {
         case st: StructType => st.fields.toList.flatMap { f =>
           (if (f.name == target) List(prefix) else Nil) ++
@@ -378,10 +426,19 @@ object RmlMapper {
         case Nil =>
           throw RmlCompiler.RmlError(
             s"JSONPath '$it' ('..$target'): no field '$target' anywhere in the document schema")
-        case path :: Nil => navigateParent(df, path)
+        case path :: Nil => applyAll(navigateParent(df, path), rest, it)
         case many =>
-          try many.map(navigateParent(df, _))
-            .reduce(_.unionByName(_, allowMissingColumns = true))
+          val attempts = many.map(p =>
+            try Right(applyAll(navigateParent(df, p), rest, it))
+            catch { case e: RmlCompiler.RmlError => Left(e) })
+          val finals = attempts.collect { case Right(f) => f }
+          if (finals.isEmpty) throw attempts.collectFirst { case Left(e) => e }.get
+          def scalarFinal(f: DataFrame) = f.columns.toSeq == Seq("value")
+          if (finals.map(scalarFinal).distinct.size > 1)
+            throw RmlCompiler.RmlError(
+              s"JSONPath '$it' ('..$target'): descent branches mix scalar and object matches (" +
+                many.map(p => ("$" +: p).mkString(".")).mkString(", ") + ")")
+          try finals.reduce(_.unionByName(_, allowMissingColumns = true))
           catch {
             case e: org.apache.spark.sql.AnalysisException =>
               throw RmlCompiler.RmlError(
@@ -389,6 +446,7 @@ object RmlMapper {
                   many.map(p => ("$" +: p).mkString(".")).mkString(", ") + s"): ${e.getMessage}")
           }
       }
+    case seg :: rest => applyAll(applySeg(df, seg, it), rest, it)
   }
 
   private sealed trait Seg
@@ -518,6 +576,14 @@ object RmlMapper {
       case quotedSingle(_, name) =>
         flushPending()
         pending = name; pendingIsName = true
+      case _ if quotedListPat.pattern.matcher(g.trim).matches() =>
+        // a multi-name quoted group is a FIELD union: with a pending
+        // name it unions that struct's members (a['b','c']); chained
+        // after an array access it unions the members of the CURRENT
+        // matched objects (b[-1]['cc','name'] — legal jsonpath_ng)
+        val name = if (pendingIsName) pending else ""
+        out += parseBracket(name, g.trim, p)
+        pending = ""; pendingIsName = false
       case _ =>
         // an array-ish group consumes the pending name as the array field
         val name = if (pendingIsName) pending else ""

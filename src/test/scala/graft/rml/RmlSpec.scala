@@ -455,6 +455,60 @@ class RmlCompilerSpec extends SparkSpec {
     }
   }
 
+  test("whole-grammar parity fixture: 160 randomized docs/paths vs real jsonpath_ng matches") {
+    // src/test/resources/jsonpath_parity.jsonl is generated by
+    // scripts/gen_jsonpath_parity.py: seeded random documents, paths
+    // emitted by walking their structure (fields, quoted/dotted names,
+    // [*], indices, slices, index unions, field unions, wildcard,
+    // recursive descent), ground-truth match sets computed by the REAL
+    // jsonpath_ng base grammar — the exact library the reference
+    // delegates to (backend.py:7). Replayed offline here so sbt never
+    // needs Python; regenerate only after a deliberate grammar change.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/jsonpath_parity.jsonl"), "UTF-8")
+      .getLines().toVector
+    assert(lines.size == 160)
+    val dir = tmpDir("rml-json-parity")
+    import scala.jdk.CollectionConverters._
+    for ((line, i) <- lines.zipWithIndex) {
+      val node = mapper.readTree(line)
+      val path = node.get("path").asText()
+      val expected = node.get("expected").elements().asScala.map(_.asText()).toVector
+      val f = java.nio.file.Paths.get(s"$dir/case$i.json")
+      java.nio.file.Files.writeString(f, node.get("doc").toString)
+      val got = RmlMapper.loadJson(spark, f.toString, Some(path))
+        .collect().map(_.getString(0)).toVector.sorted
+      assert(got == expected.sorted,
+        s"case $i path '$path': got $got, jsonpath_ng says ${expected.sorted}")
+    }
+  }
+
+  test("singleton-wrap quirk: [*] and slices on non-lists match the value itself (jsonpath_ng Slice)") {
+    val dir = tmpDir("rml-json-singleton")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"s": "hi", "n": 5, "o": {"a": 1}}""")
+    import spark.implicits._
+    // probed jsonpath_ng ground truth: $.s[*] -> ['hi'], $.o[*] -> [{'a':1}],
+    // $.s[0:1] -> ['hi'], $.s[0:5:2] -> ['hi'], $.s[1:] -> []
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[*]"))
+      .select("value").as[String].collect().toSeq == Seq("hi"))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.n[*]"))
+      .select("value").as[String].collect().toSeq == Seq("5"))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.o[*]"))
+      .select("a").as[Long].collect().toSeq == Seq(1L))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[0:1]"))
+      .select("value").as[String].collect().toSeq == Seq("hi"))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[-3:5:2]"))
+      .select("value").as[String].collect().toSeq == Seq("hi"))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[1:]")).count() == 0)
+    // numeric index on a non-array stays a loud reject (base jsonpath_ng
+    // CHAR-indexes strings and crashes with TypeError/KeyError otherwise)
+    for (bad <- Seq("$.s[0]", "$.n[0]", "$.o[0]", "$.n[0,1]"))
+      assertThrows[RmlCompiler.RmlError](
+        RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
+  }
+
   test("JSONPath negative index and index unions") {
     val dir = tmpDir("rml-json-iu")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
