@@ -20,10 +20,15 @@ only to regenerate after a deliberate grammar change:
 import json
 import random
 import re
+import sys
 
 from jsonpath_ng import parse
 
-SEED = 20260817
+# exploration mode: gen_jsonpath_parity.py <seed> <out.jsonl> fuzzes a
+# different seed into a scratch file (replay with scripts/replay_parity
+# .scala); no args = regenerate the canonical committed fixture
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260817
+OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/jsonpath_parity.jsonl"
 N_TARGET = 160
 MAX_TRIES = 20000
 
@@ -218,7 +223,7 @@ def main():
                     "expected": sorted(str(m) for m in matches)})
         seen.add(key)
     assert len(out) == N_TARGET, f"only {len(out)} cases after {tries} tries"
-    with open("src/test/resources/jsonpath_parity.jsonl", "w") as f:
+    with open(OUT, "w") as f:
         for case in out:
             f.write(json.dumps(case, sort_keys=True) + "\n")
     kinds = {}

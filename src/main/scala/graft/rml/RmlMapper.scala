@@ -278,10 +278,14 @@ object RmlMapper {
       throw RmlCompiler.RmlError(
         s"JSONPath '$it': wildcard/union mixes object and scalar members (" +
           members.map(m => s"${m._2}:${kind(m._3)}").mkString(", ") + ")")
+    // null member values are NO match (same policy as FieldSeg): after
+    // explode + union-of-keys, an instance lacking the member carries
+    // NULL here, and jsonpath_ng's `.*`/union matches only the members
+    // the instance actually has
     val frames = members.map { case (p, _, dt) =>
       dt match {
-        case _: StructType => df.select(col(p + ".*"))
-        case _ => df.select(col(p).cast("string").as("value"))
+        case _: StructType => df.filter(col(p).isNotNull).select(col(p + ".*"))
+        case _ => df.filter(col(p).isNotNull).select(col(p).cast("string").as("value"))
       }
     }
     try frames.reduce(_.unionByName(_, allowMissingColumns = true))

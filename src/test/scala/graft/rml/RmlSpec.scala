@@ -372,6 +372,15 @@ class RmlCompilerSpec extends SparkSpec {
       """{"b": {"c": {"name": "n1"}, "d": {"extra": "x"}}}""")
     assert(RmlMapper.loadJson(spark, s"$dir2/data.json", Some("$.b.*.name"))
       .select("value").as[String].collect().toSeq == Seq("n1"))
+    // same policy inside member stacking: `.*` over exploded objects with
+    // heterogeneous keys matches only each instance's OWN members
+    // (jsonpath_ng: 6 matches here, never the union-of-keys NULLs)
+    val dir3 = tmpDir("rml-json-nulls3")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir3/data.json"),
+      """{"a":[{"a":357,"a.b":896,"b":"alpha"},{"a":-6,"a.b":122,"name":"alpha"}]}""")
+    assert(RmlMapper.loadJson(spark, s"$dir3/data.json", Some("$.a[*].*"))
+      .select("value").as[String].collect().toVector.sorted ==
+      Vector("-6", "122", "357", "896", "alpha", "alpha"))
   }
 
   test("quoted bracket names: descent form, literal dots, chained access") {
