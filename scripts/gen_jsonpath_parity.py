@@ -139,13 +139,37 @@ def gen_path(doc):
                     not isinstance(v, (dict, list)) for v in node.values()):
                 segs.append(".*")  # homogeneous-scalar wildcard
                 return "$" + "".join(segs)
-            if r < 0.16:
+            if r < 0.12 and len(node) >= 1 and all(
+                    isinstance(v, dict) for v in node.values()):
+                # homogeneous-OBJECT wildcard: members widen and union by
+                # key; continue walking from one member to a scalar end
+                segs.append(".*")
+                node = node[rng.choice(keys)]
+                continue
+            if r < 0.2:
                 scalar_keys = [k for k in keys
                                if not isinstance(node[k], (dict, list))]
+                dict_keys = [k for k in keys if isinstance(node[k], dict)]
                 if len(scalar_keys) >= 2:
                     pick = rng.sample(scalar_keys, 2)
                     segs.append("['" + "','".join(pick) + "']")
                     return "$" + "".join(segs)
+                if len(dict_keys) >= 2:
+                    pick = rng.sample(dict_keys, 2)
+                    segs.append("['" + "','".join(pick) + "']")
+                    node = node[rng.choice(pick)]
+                    continue
+                if dict_keys and scalar_keys:
+                    # MIXED union (scalar + object member) with trailing
+                    # navigation: jsonpath_ng navigates each member
+                    # independently; the scalar member contributes no
+                    # deeper match. Walk on from the object member.
+                    d = rng.choice(dict_keys)
+                    s = rng.choice(scalar_keys)
+                    pick = [d, s] if rng.random() < 0.5 else [s, d]
+                    segs.append("['" + "','".join(pick) + "']")
+                    node = node[d]
+                    continue
             if r < 0.26:
                 # descent to a key reachable below (may multi-target)
                 k = rng.choice(keys)

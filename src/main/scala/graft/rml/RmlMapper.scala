@@ -209,7 +209,7 @@ object RmlMapper {
       case _: ArrayType =>
         throw RmlCompiler.RmlError(
           s"JSONPath '$it': $what is an array — append [*], an index or a slice to iterate it")
-      case _ => matches.select(col(q(c)).cast("string").as("value"))
+      case _ => matches.select(col(q(c)).cast("string").as("value", scalarMatchMeta))
     }
   }
 
@@ -261,40 +261,98 @@ object RmlMapper {
   /** Union the member VALUES at struct-field paths `members` (wildcard
     * `.*` and field unions `['a','b']`): struct members widen and union
     * by name (union-of-keys, missing → NULL), scalar members stack into
-    * `value`. Mixed struct/scalar or array members are rejected loudly.
-    * Each member is (pre-quoted access path, display path, type). */
+    * `value`. Mixed struct/scalar or array members are rejected loudly
+    * — except that when trailing segments remain, [[applyAll]] routes
+    * shape-conflicted unions to per-member branch navigation instead of
+    * calling this. Each member is (pre-quoted access path, display
+    * path, type). */
   private def memberUnion(df: DataFrame, members: Seq[(String, String, DataType)],
       it: String): DataFrame = {
-    def kind(dt: DataType) = dt match {
-      case _: StructType => "object"
-      case _: ArrayType => "array"
-      case _ => "scalar"
-    }
-    members.find(m => kind(m._3) == "array").foreach { case (_, disp, _) =>
+    members.find(m => memberKind(m._3) == "array").foreach { case (_, disp, _) =>
       throw RmlCompiler.RmlError(
         s"JSONPath '$it': member '$disp' is an array — iterate it explicitly with [*]/index/slice")
     }
-    if (members.map(m => kind(m._3)).distinct.size > 1)
+    if (members.map(m => memberKind(m._3)).distinct.size > 1)
       throw RmlCompiler.RmlError(
         s"JSONPath '$it': wildcard/union mixes object and scalar members (" +
-          members.map(m => s"${m._2}:${kind(m._3)}").mkString(", ") + ")")
-    // null member values are NO match (same policy as FieldSeg): after
-    // explode + union-of-keys, an instance lacking the member carries
-    // NULL here, and jsonpath_ng's `.*`/union matches only the members
-    // the instance actually has
-    val frames = members.map { case (p, _, dt) =>
-      dt match {
-        case _: StructType => df.filter(col(p).isNotNull).select(col(p + ".*"))
-        case _ => df.filter(col(p).isNotNull).select(col(p).cast("string").as("value"))
-      }
+          members.map(m => s"${m._2}:${memberKind(m._3)}").mkString(", ") + ")")
+    unionFrames(members.map(m => memberFrame(df, m._1, m._3)), it, "wildcard/union member")
+  }
+
+  private def memberKind(dt: DataType): String = dt match {
+    case _: StructType => "object"
+    case _: ArrayType => "array"
+    case _ => "scalar"
+  }
+
+  /** The row frame for one wildcard/union member. Null member values
+    * are NO match (same policy as FieldSeg): after explode +
+    * union-of-keys, an instance lacking the member carries NULL here,
+    * and jsonpath_ng's `.*`/union matches only the members the instance
+    * actually has. */
+  private def memberFrame(df: DataFrame, p: String, dt: DataType): DataFrame = dt match {
+    case _: StructType => df.filter(col(p).isNotNull).select(col(p + ".*"))
+    case _ => df.filter(col(p).isNotNull).select(col(p).cast("string").as("value", scalarMatchMeta))
+  }
+
+  /** Marks the single `value` column of a SCALAR-match frame, so later
+    * segments can tell it apart from a real object that happens to have
+    * one member named "value". In jsonpath_ng NO segment matches inside
+    * a scalar (fields/wildcard/union/descent all fall through, and the
+    * parser already rejects post-value [*]/slice chains), so navigating
+    * onward from a marked frame is a loud no-match reject — which the
+    * descent/union branch policies drop per-branch. */
+  private val scalarMatchMeta =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.scalarMatch", true).build()
+
+  private def isScalarFrame(df: DataFrame): Boolean = {
+    val fs = df.schema.fields
+    fs.length == 1 && fs(0).name == "value" && fs(0).metadata.contains("graft.scalarMatch")
+  }
+
+  /** Union row frames that may disagree on column types. Columns typed
+    * differently across frames would make unionByName coerce — under
+    * ANSI a long column receiving another frame's string value CRASHES
+    * at runtime, not plan time. Harmonize SCALAR-type conflicts to
+    * string plan-side (lexeme-preserving, the per-instance value
+    * jsonpath_ng yields); container-vs-anything conflicts stay a loud
+    * plan-time reject. */
+  private def unionFrames(frames: Seq[DataFrame], it: String, what: String): DataFrame = {
+    val typesByName = frames.flatMap(_.schema.fields).groupBy(_.name)
+      .map { case (n, fs) => n -> fs.map(_.dataType).distinct }
+    typesByName.find { case (_, ts) =>
+      ts.size > 1 && ts.exists(t => t.isInstanceOf[StructType] || t.isInstanceOf[ArrayType])
+    }.foreach { case (n, ts) =>
+      throw RmlCompiler.RmlError(
+        s"JSONPath '$it': $what key '$n' has conflicting shapes (" +
+          ts.map(_.simpleString).mkString(" vs ") + ")")
     }
-    try frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val harmonize = typesByName.collect { case (n, ts) if ts.size > 1 => n }.toSet
+    val aligned = frames.map { f =>
+      f.select(f.columns.map(c =>
+        if (harmonize(c)) col(q(c)).cast("string").as(c) else col(q(c))): _*)
+    }
+    try aligned.reduce(_.unionByName(_, allowMissingColumns = true))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw RmlCompiler.RmlError(
-          s"JSONPath '$it': wildcard/union members have conflicting shapes (${e.getMessage})")
+          s"JSONPath '$it': $what frames have conflicting shapes (${e.getMessage})")
     }
   }
+
+  /** True when the shared keys of all-struct union members carry
+    * container-type conflicts that [[unionFrames]] cannot harmonize —
+    * the signal to navigate trailing segments per member instead of
+    * through one flattened frame. */
+  private def structKeyShapesConflict(members: Seq[(String, String, DataType)]): Boolean =
+    members.flatMap(m => m._3 match {
+      case st: StructType => st.fields.toSeq
+      case _ => Nil
+    }).groupBy(_.name).values.exists { fs =>
+      val ts = fs.map(_.dataType).distinct
+      ts.size > 1 && ts.exists(t => t.isInstanceOf[StructType] || t.isInstanceOf[ArrayType])
+    }
 
   /** Navigate to a descent parent path (exploding arrays along the way)
     * and widen to its columns. `path` came from the schema, so every hop
@@ -359,26 +417,9 @@ object RmlMapper {
       widen(kept, it, s"an element of '$name'")
     case WildcardSeg =>
       // `.*`: every member value of the current object(s) becomes a match
-      memberUnion(df, df.schema.fields.toSeq.map(f => (q(f.name), f.name, f.dataType)), it)
-    case FieldUnionSeg(name, fields) =>
-      val base = if (name.isEmpty) df.schema
-      else df.schema.find(_.name == name).map(_.dataType) match {
-        case Some(st: StructType) => st
-        case Some(other) =>
-          throw RmlCompiler.RmlError(
-            s"JSONPath '$it': field union on non-object '$name' (${other.simpleString})")
-        case None =>
-          throw RmlCompiler.RmlError(s"JSONPath '$it': no field '$name' in the document schema")
-      }
-      val (ap, dp) = if (name.isEmpty) ("", "") else (q(name) + ".", name + ".")
-      // a listed member absent from the schema = no match for it
-      // (jsonpath_ng semantics: $.b['c','zzz'] yields just c's value)
-      val present = fields.flatMap(f =>
-        base.find(_.name == f).map(sf => (ap + q(f), dp + f, sf.dataType)))
-      if (present.isEmpty)
-        throw RmlCompiler.RmlError(
-          s"JSONPath '$it': none of the union fields ${fields.mkString("['", "','", "']")} exist in the document schema")
-      memberUnion(df, present, it)
+      memberUnion(df, unionMembers(df, WildcardSeg, it), it)
+    case u: FieldUnionSeg =>
+      memberUnion(df, unionMembers(df, u, it), it)
     case FieldSeg(name) =>
       df.schema.find(_.name == name) match {
         case Some(_) =>
@@ -400,6 +441,35 @@ object RmlMapper {
       throw new IllegalStateException("DescendSeg is handled by applyAll") // unreachable
   }
 
+  /** The (pre-quoted access path, display path, type) members a
+    * wildcard or field union selects from `df`'s current record shape. */
+  private def unionMembers(df: DataFrame, seg: Seg, it: String): Seq[(String, String, DataType)] =
+    seg match {
+      case WildcardSeg =>
+        df.schema.fields.toSeq.map(f => (q(f.name), f.name, f.dataType))
+      case FieldUnionSeg(name, fields) =>
+        val base = if (name.isEmpty) df.schema
+        else df.schema.find(_.name == name).map(_.dataType) match {
+          case Some(st: StructType) => st
+          case Some(other) =>
+            throw RmlCompiler.RmlError(
+              s"JSONPath '$it': field union on non-object '$name' (${other.simpleString})")
+          case None =>
+            throw RmlCompiler.RmlError(s"JSONPath '$it': no field '$name' in the document schema")
+        }
+        val (ap, dp) = if (name.isEmpty) ("", "") else (q(name) + ".", name + ".")
+        // a listed member absent from the schema = no match for it
+        // (jsonpath_ng semantics: $.b['c','zzz'] yields just c's value)
+        val present = fields.flatMap(f =>
+          base.find(_.name == f).map(sf => (ap + q(f), dp + f, sf.dataType)))
+        if (present.isEmpty)
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': none of the union fields ${fields.mkString("['", "','", "']")} exist in the document schema")
+        present
+      case other =>
+        throw new IllegalStateException(s"not a union segment: $other") // unreachable
+    }
+
   /** Apply the segment list left to right. Descent is handled HERE, not
     * in [[applySeg]]: `..target` resolves to every schema path whose
     * parent struct holds a field `target` (descending through arrays),
@@ -417,6 +487,11 @@ object RmlMapper {
     * possible instance shape conflicts with the path. */
   private def applyAll(df: DataFrame, segs: List[Seg], it: String): DataFrame = segs match {
     case Nil => df
+    case _ :: _ if isScalarFrame(df) =>
+      // jsonpath_ng never matches inside a scalar value; loud here, and
+      // dropped per-branch under descent/union branch navigation
+      throw RmlCompiler.RmlError(
+        s"JSONPath '$it': trailing segments apply to a scalar match — no jsonpath_ng match is possible")
     case DescendSeg(target) :: rest =>
       def paths(dt: DataType, prefix: List[String]): List[List[String]] = dt match {
         case st: StructType => st.fields.toList.flatMap { f =>
@@ -442,13 +517,41 @@ object RmlMapper {
             throw RmlCompiler.RmlError(
               s"JSONPath '$it' ('..$target'): descent branches mix scalar and object matches (" +
                 many.map(p => ("$" +: p).mkString(".")).mkString(", ") + ")")
-          try finals.reduce(_.unionByName(_, allowMissingColumns = true))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException =>
-              throw RmlCompiler.RmlError(
-                s"JSONPath '$it' ('..$target'): ${many.size} parent paths have conflicting shapes (" +
-                  many.map(p => ("$" +: p).mkString(".")).mkString(", ") + s"): ${e.getMessage}")
-          }
+          unionFrames(finals, it, s"'..$target' branch")
+      }
+    case (seg @ (WildcardSeg | FieldUnionSeg(_, _))) :: rest =>
+      val members = unionMembers(df, seg, it)
+      val mixedKinds = members.map(m => memberKind(m._3)).distinct.size > 1
+      if (rest.isEmpty || !(mixedKinds || structKeyShapesConflict(members)))
+        applyAll(memberUnion(df, members, it), rest, it)
+      else {
+        // jsonpath_ng applies trailing segments to each member match
+        // INDEPENDENTLY, so members may hold conflicting shapes (scalar
+        // here, struct there; a shared key typed long in one member and
+        // object in another) as long as each member's own navigation is
+        // consistent — one flattened union frame cannot represent that,
+        // so navigate the remainder per member and union the finals
+        // (same branch policy as multi-parent descent above: a member
+        // whose navigation fails contributes NO matches unless EVERY
+        // member fails, which rethrows the first error).
+        members.find(m => memberKind(m._3) == "array").foreach { case (_, disp, _) =>
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': member '$disp' is an array — iterate it explicitly with [*]/index/slice")
+        }
+        val attempts = members.map { case (p, _, dt) =>
+          // a scalar member's marked frame makes applyAll reject any
+          // trailing segment (jsonpath_ng matches nothing inside a
+          // scalar), so it lands in Left and contributes no matches
+          try Right(applyAll(memberFrame(df, p, dt), rest, it))
+          catch { case e: RmlCompiler.RmlError => Left(e) }
+        }
+        val finals = attempts.collect { case Right(f) => f }
+        if (finals.isEmpty) throw attempts.collectFirst { case Left(e) => e }.get
+        def scalarFinal(f: DataFrame) = f.columns.toSeq == Seq("value")
+        if (finals.map(scalarFinal).distinct.size > 1)
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': union branches mix scalar and object matches")
+        unionFrames(finals, it, "union branch")
       }
     case seg :: rest => applyAll(applySeg(df, seg, it), rest, it)
   }

@@ -493,6 +493,60 @@ class RmlCompilerSpec extends SparkSpec {
     }
   }
 
+  test("union branch navigation: members with conflicting shapes navigate independently") {
+    val dir = tmpDir("rml-json-branch")
+    // x_1 is a STRING under b but a STRUCT under a.b — one flattened
+    // union frame can't hold both; jsonpath_ng navigates each member
+    // match independently, so ['b','a.b'].x_1.b matches only through
+    // the struct-shaped member
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"b": {"x_1": "plain", "k": 1}, "a.b": {"x_1": {"b": "deep", "cc": 2}}}""")
+    import spark.implicits._
+    val got = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$['b','a.b'].x_1.b"))
+      .as[String].collect().toVector
+    assert(got == Vector("deep"))
+    // when the branches END at the conflicting key, one final is a
+    // scalar and the other an object — an RML iterator needs one record
+    // shape, so that stays a loud reject
+    val e = intercept[RmlCompiler.RmlError] {
+      RmlMapper.loadJson(spark, s"$dir/data.json", Some("$['b','a.b'].x_1")).collect()
+    }
+    assert(e.getMessage.contains("mix scalar and object"))
+    // mixed scalar+object member union with trailing navigation: the
+    // scalar member contributes nothing (jsonpath_ng fall-through)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/mixed.json"),
+      """{"s": "just a string", "o": {"k": "hit"}}""")
+    val mixed = RmlMapper.loadJson(spark, s"$dir/mixed.json", Some("$['s','o'].k"))
+      .as[String].collect().toVector
+    assert(mixed == Vector("hit"))
+  }
+
+  test("no segment matches inside a scalar: trailing .* or .value after a scalar match rejects") {
+    val dir = tmpDir("rml-json-scalarstop")
+    // doc.a holds scalars at two descent branches and a list of objects
+    // at the root: `$..a[*].*` must match only through the object
+    // elements (jsonpath_ng Fields('*') falls through on scalars), not
+    // phantom-match the singleton-wrapped scalars themselves
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"a": [{"b": 7, "name": 818}, {"a": 72, "b": -75}], "x_1": {"a": 607, "b": "alpha"}}""")
+    import spark.implicits._
+    val got = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..a[*].*"))
+      .as[String].collect().toVector.sorted
+    assert(got == Vector("-75", "7", "72", "818"))
+    // a field literally named "value" after a scalar match is NOT the
+    // engine's internal value column: loud reject, not a phantom match
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/d2.json"),
+      """{"a": 5, "o": {"value": 9}}""")
+    val e = intercept[RmlCompiler.RmlError] {
+      RmlMapper.loadJson(spark, s"$dir/d2.json", Some("$.a.value")).collect()
+    }
+    assert(e.getMessage.contains("scalar match"))
+    // ...while the REAL member named "value" still navigates
+    val real = RmlMapper.loadJson(spark, s"$dir/d2.json", Some("$.o.value"))
+      .as[String].collect().toVector
+    assert(real == Vector("9"))
+  }
+
   test("singleton-wrap quirk: [*] and slices on non-lists match the value itself (jsonpath_ng Slice)") {
     val dir = tmpDir("rml-json-singleton")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
