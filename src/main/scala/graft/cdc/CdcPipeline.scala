@@ -198,7 +198,15 @@ object CdcPipeline {
       checkpointRoot: String, opts: CdcApply.Options): Int = {
     val from = table.currentSnapshot.appliedWatermark + 1
     val entries =
-      Try(GraftShim.sourceLogBatches(spark, checkpointRoot, from)).getOrElse(Nil)
+      Try(GraftShim.sourceLogBatches(spark, checkpointRoot, from)).recover {
+        // a FRESH checkpoint legitimately has no source log yet; an
+        // unreadable one means recovery silently skipped — say which
+        case e =>
+          System.err.println(s"[cdc-pipeline] no readable source manifest under " +
+            s"$checkpointRoot from batch $from (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "recovering nothing")
+          Nil
+      }.get
     var recovered = 0
     entries.foreach { case (batchId, files) =>
       if (!table.currentSnapshot.applied(batchId)) {

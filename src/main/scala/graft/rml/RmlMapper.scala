@@ -686,9 +686,11 @@ object RmlMapper {
       case _ if quotedListPat.pattern.matcher(g.trim).matches() =>
         // a multi-name quoted group is a FIELD union: with a pending
         // name it unions that struct's members (a['b','c']); chained
-        // after an array access it unions the members of the CURRENT
-        // matched objects (b[-1]['cc','name'] — legal jsonpath_ng)
-        val name = if (pendingIsName) pending else ""
+        // after an array access OR a wildcard it unions the members of
+        // the CURRENT matched objects (b[-1]['cc','name'], *['a','b'] —
+        // legal jsonpath_ng; `*` is a wildcard segment, never a field)
+        val name = if (pendingIsName && pending != "*") pending else ""
+        if (pendingIsName && pending == "*") flushPending()
         out += parseBracket(name, g.trim, p)
         pending = ""; pendingIsName = false
       case _ =>

@@ -521,6 +521,18 @@ class RmlCompilerSpec extends SparkSpec {
     assert(mixed == Vector("hit"))
   }
 
+  test("field union chained after a wildcard applies per member match (*['a','b'])") {
+    val dir = tmpDir("rml-json-wildunion")
+    // $.*['a','x_1'] = wildcard over members, then union fields of EACH
+    // matched object — `*` is a wildcard segment, never a field name
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"l": {"a": 1, "b": 2}, "r": {"x_1": "three", "cc": 4}}""")
+    import spark.implicits._
+    val got = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.*['a','x_1']"))
+      .as[String].collect().toVector.sorted
+    assert(got == Vector("1", "three"))
+  }
+
   test("no segment matches inside a scalar: trailing .* or .value after a scalar match rejects") {
     val dir = tmpDir("rml-json-scalarstop")
     // doc.a holds scalars at two descent branches and a list of objects
