@@ -54,6 +54,7 @@ final class CdcPipeline(
   private val results = new java.util.concurrent.ConcurrentHashMap[
     Long, CompletableFuture[Try[(LakeTable.DeltaWrite, Long)]]]()
   @volatile private var failure: Throwable = null
+  @volatile private var warnedNoManifest = false
   private val pipelined = new java.util.concurrent.atomic.AtomicInteger()
   /** One source-log reader per stream — its entry cache keeps the hot path
     * from re-parsing the manifest (compact files carry full history). */
@@ -80,9 +81,16 @@ final class CdcPipeline(
         // distinguish "source has no file manifest" (expected for non-file
         // sources) from "manifest unreadable" in production triage — the
         // serial fallback below is correct either way, but silently
-        // swallowing an IO error here would hide a corrupt checkpoint
-        System.err.println(s"[cdc-pipeline] source manifest unreadable for batch " +
-          s"$batchId (${e.getClass.getSimpleName}: ${e.getMessage}) — applying synchronously")
+        // swallowing an IO error would hide a corrupt checkpoint. Logged
+        // ONCE per pipeline: a non-file source fails this way on EVERY
+        // batch, and a months-long tail must not bury the one real
+        // corruption signal under 10^5 identical lines
+        if (!warnedNoManifest) {
+          warnedNoManifest = true
+          System.err.println(s"[cdc-pipeline] source manifest unreadable for batch " +
+            s"$batchId (${e.getClass.getSimpleName}: ${e.getMessage}) — applying " +
+            "synchronously (reported once; later batches fall back silently)")
+        }
         Nil
     }
     if (files.isEmpty) {

@@ -226,6 +226,10 @@ object CdcStream {
         case _ => ()
       }
       val m = Option(c.getMessage).getOrElse("")
+      // "Job N cancelled because SparkContext was shut down" is a DYING
+      // context, not our stop — never benign, whatever else the chain says
+      if (m.contains("SparkContext was shut down") ||
+        m.contains("SparkContext has been shutdown")) return false
       if (m.contains("SPARK_JOB_CANCELLED") || m.contains("cancelled") ||
         m.contains("canceled") || m.contains("was stopped")) return true
       c = c.getCause

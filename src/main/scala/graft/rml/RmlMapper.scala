@@ -169,14 +169,24 @@ object RmlMapper {
   }
 
   /** Peek the first non-whitespace byte: '[' = array-rooted document.
-    * Only meaningful for a single-file path (the reference's shape); any
-    * read trouble conservatively reports false. */
+    * For a DIRECTORY source (spark.read.json accepts one, row-izing each
+    * file) the files share a root shape in practice, so peek the first
+    * regular file — without this, the array-root guard would silently
+    * skip exactly the multi-file case where Spark fabricates one row per
+    * array element. Globs/URIs and any read trouble conservatively
+    * report false (documented single-path heuristic). */
   private def jsonRootIsArray(path: String): Boolean = {
     try {
       val f = new java.io.File(path)
-      if (!f.isFile) false
-      else {
-        val in = new java.io.FileInputStream(f)
+      val probe: Option[java.io.File] =
+        if (f.isFile) Some(f)
+        else if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten
+            .filter(c => c.isFile && !c.getName.startsWith(".") && !c.getName.startsWith("_"))
+            .sortBy(_.getName).headOption
+        else None
+      probe.exists { pf =>
+        val in = new java.io.FileInputStream(pf)
         try {
           val buf = new Array[Byte](512)
           val n = in.read(buf)
@@ -268,10 +278,7 @@ object RmlMapper {
     * path, type). */
   private def memberUnion(df: DataFrame, members: Seq[(String, String, DataType)],
       it: String): DataFrame = {
-    members.find(m => memberKind(m._3) == "array").foreach { case (_, disp, _) =>
-      throw RmlCompiler.RmlError(
-        s"JSONPath '$it': member '$disp' is an array — iterate it explicitly with [*]/index/slice")
-    }
+    rejectArrayMembers(members, it)
     if (members.map(m => memberKind(m._3)).distinct.size > 1)
       throw RmlCompiler.RmlError(
         s"JSONPath '$it': wildcard/union mixes object and scalar members (" +
@@ -284,6 +291,12 @@ object RmlMapper {
     case _: ArrayType => "array"
     case _ => "scalar"
   }
+
+  private def rejectArrayMembers(members: Seq[(String, String, DataType)], it: String): Unit =
+    members.find(m => memberKind(m._3) == "array").foreach { case (_, disp, _) =>
+      throw RmlCompiler.RmlError(
+        s"JSONPath '$it': member '$disp' is an array — iterate it explicitly with [*]/index/slice")
+    }
 
   /** The row frame for one wildcard/union member. Null member values
     * are NO match (same policy as FieldSeg): after explode +
@@ -415,11 +428,8 @@ object RmlMapper {
         .filter(col("_i") >= lo && col("_i") < hi && (col("_i") - lo) % step === 0)
         .select(col("_row"))
       widen(kept, it, s"an element of '$name'")
-    case WildcardSeg =>
-      // `.*`: every member value of the current object(s) becomes a match
-      memberUnion(df, unionMembers(df, WildcardSeg, it), it)
-    case u: FieldUnionSeg =>
-      memberUnion(df, unionMembers(df, u, it), it)
+    case WildcardSeg | FieldUnionSeg(_, _) =>
+      throw new IllegalStateException("wildcard/union segments are handled by applyAll") // unreachable
     case FieldSeg(name) =>
       df.schema.find(_.name == name) match {
         case Some(_) =>
@@ -512,8 +522,9 @@ object RmlMapper {
             catch { case e: RmlCompiler.RmlError => Left(e) })
           val finals = attempts.collect { case Right(f) => f }
           if (finals.isEmpty) throw attempts.collectFirst { case Left(e) => e }.get
-          def scalarFinal(f: DataFrame) = f.columns.toSeq == Seq("value")
-          if (finals.map(scalarFinal).distinct.size > 1)
+          // the metadata marker, not the column NAME: an object final
+          // whose record shape is exactly {value: ...} is still an object
+          if (finals.map(isScalarFrame).distinct.size > 1)
             throw RmlCompiler.RmlError(
               s"JSONPath '$it' ('..$target'): descent branches mix scalar and object matches (" +
                 many.map(p => ("$" +: p).mkString(".")).mkString(", ") + ")")
@@ -534,10 +545,7 @@ object RmlMapper {
         // (same branch policy as multi-parent descent above: a member
         // whose navigation fails contributes NO matches unless EVERY
         // member fails, which rethrows the first error).
-        members.find(m => memberKind(m._3) == "array").foreach { case (_, disp, _) =>
-          throw RmlCompiler.RmlError(
-            s"JSONPath '$it': member '$disp' is an array — iterate it explicitly with [*]/index/slice")
-        }
+        rejectArrayMembers(members, it)
         val attempts = members.map { case (p, _, dt) =>
           // a scalar member's marked frame makes applyAll reject any
           // trailing segment (jsonpath_ng matches nothing inside a
@@ -547,8 +555,8 @@ object RmlMapper {
         }
         val finals = attempts.collect { case Right(f) => f }
         if (finals.isEmpty) throw attempts.collectFirst { case Left(e) => e }.get
-        def scalarFinal(f: DataFrame) = f.columns.toSeq == Seq("value")
-        if (finals.map(scalarFinal).distinct.size > 1)
+        // metadata marker, not column name — see the descent check above
+        if (finals.map(isScalarFrame).distinct.size > 1)
           throw RmlCompiler.RmlError(
             s"JSONPath '$it': union branches mix scalar and object matches")
         unionFrames(finals, it, "union branch")
@@ -694,7 +702,14 @@ object RmlMapper {
         out += parseBracket(name, g.trim, p)
         pending = ""; pendingIsName = false
       case _ =>
-        // an array-ish group consumes the pending name as the array field
+        // an array-ish group consumes the pending name as the array field;
+        // '*' is NEVER a field name — binding it here would either loudly
+        // look up a field '*' or, on a doc that genuinely has a "*" key,
+        // silently navigate that key instead of the wildcard, so reject
+        // the (legal-but-rare) jsonpath_ng form `*[...]` explicitly
+        if (pendingIsName && pending == "*")
+          throw RmlError(
+            s"unsupported JSONPath (array access directly on wildcard matches '*[$g]' — name the member, or union fields with *['a','b']): $p")
         val name = if (pendingIsName) pending else ""
         if (!pendingIsName && out.nonEmpty)
           throw RmlError(

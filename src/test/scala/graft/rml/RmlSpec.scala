@@ -533,6 +533,52 @@ class RmlCompilerSpec extends SparkSpec {
     assert(got == Vector("1", "three"))
   }
 
+  test("array access directly on wildcard matches rejects loudly (never a literal '*' field)") {
+    val dir = tmpDir("rml-json-wildarr")
+    // on a doc with a literal "*" KEY, binding the name would silently
+    // navigate that key instead of the wildcard — loud reject instead
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"*": [1, 2], "a": {"b": [3]}}""")
+    for (path <- Seq("$.*[*]", "$.*[0]", "$.*[1:3]", "$.a.*[*]")) {
+      val e = intercept[RmlCompiler.RmlError] {
+        RmlMapper.loadJson(spark, s"$dir/data.json", Some(path)).collect()
+      }
+      assert(e.getMessage.contains("wildcard"), s"path $path: ${e.getMessage}")
+    }
+  }
+
+  test("an object final whose only key is 'value' is still an object (metadata, not name)") {
+    val dir = tmpDir("rml-json-valuekey")
+    // descent branches: x.t ends at the OBJECT {value: 1}, y.t at the
+    // scalar 2 — mixing object and scalar finals must reject loudly even
+    // though the object's record shape is exactly [value]
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"x": {"t": {"value": 1}}, "y": {"t": 2}}""")
+    val e = intercept[RmlCompiler.RmlError] {
+      RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..t")).collect()
+    }
+    assert(e.getMessage.contains("mix scalar and object"))
+  }
+
+  test("array-root field-access guard also covers directory sources") {
+    val dir = tmpDir("rml-json-arraydir")
+    val sub = java.nio.file.Paths.get(s"$dir/docs")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.writeString(sub.resolve("p1.json"), """[{"a": 1}, {"a": 2}]""")
+    java.nio.file.Files.writeString(sub.resolve("p2.json"), """[{"a": 3}]""")
+    // Spark row-izes each file's array; jsonpath_ng field access on an
+    // array root matches NOTHING — the guard must fire for the directory
+    val e = intercept[RmlCompiler.RmlError] {
+      RmlMapper.loadJson(spark, sub.toString, Some("$.a")).collect()
+    }
+    assert(e.getMessage.contains("array"))
+    // $[*] (iterate the root arrays) stays valid over the directory
+    import spark.implicits._
+    val ok = RmlMapper.loadJson(spark, sub.toString, Some("$[*].a"))
+      .as[String].collect().toVector.sorted
+    assert(ok == Vector("1", "2", "3"))
+  }
+
   test("no segment matches inside a scalar: trailing .* or .value after a scalar match rejects") {
     val dir = tmpDir("rml-json-scalarstop")
     // doc.a holds scalars at two descent branches and a list of objects
