@@ -29,6 +29,11 @@ from jsonpath_ng import parse
 # .scala); no args = regenerate the canonical committed fixture
 SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260817
 OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/jsonpath_parity.jsonl"
+# exploration-only knob: deeper documents + longer paths stress descent
+# multi-targeting and branch navigation harder (canonical fixture stays
+# at the defaults — never pass a depth when regenerating it)
+DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+STEPS = 4 if DEPTH <= 3 else 6
 N_TARGET = 160
 MAX_TRIES = 20000
 
@@ -128,7 +133,7 @@ def gen_path(doc):
     node = doc
     # occasionally start with a recursive descent to a field that exists
     # somewhere below
-    steps = rng.randint(1, 4)
+    steps = rng.randint(1, STEPS)
     for _ in range(steps):
         if isinstance(node, dict):
             if not node:
@@ -217,7 +222,7 @@ def main():
     tries = 0
     while len(out) < N_TARGET and tries < MAX_TRIES:
         tries += 1
-        doc = gen_doc(rng.randint(1, 3))
+        doc = gen_doc(rng.randint(1, DEPTH))
         if has_conflict(shape(doc)):
             continue
         path = gen_path(doc)

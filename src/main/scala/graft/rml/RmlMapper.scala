@@ -561,6 +561,19 @@ object RmlMapper {
             s"JSONPath '$it': union branches mix scalar and object matches")
         unionFrames(finals, it, "union branch")
       }
+    case FieldSeg(name) :: rest
+        if rest.headOption.exists(_.isInstanceOf[DescendSeg]) &&
+          df.schema.find(_.name == name).exists(_.dataType.isInstanceOf[ArrayType]) =>
+      // an ARRAY match followed by recursive descent: jsonpath_ng's
+      // Descendants DOES enter list elements (unlike plain field access,
+      // which falls through on lists), so a `..a..name` branch whose `a`
+      // is a list must explode into the elements (through nested arrays)
+      // and resolve the descent within them — widen's array reject would
+      // silently drop this branch's matches
+      var cur = df.select(col(q(name)).as("_row")).filter(col("_row").isNotNull)
+      while (cur.schema.head.dataType.isInstanceOf[ArrayType])
+        cur = cur.select(explode(col("_row")).as("_row"))
+      applyAll(widen(cur, it, s"field '$name'"), rest, it)
     case seg :: rest => applyAll(applySeg(df, seg, it), rest, it)
   }
 

@@ -533,6 +533,21 @@ class RmlCompilerSpec extends SparkSpec {
     assert(got == Vector("1", "three"))
   }
 
+  test("descent enters array-valued matches: $..a..name counts names under a list 'a'") {
+    val dir = tmpDir("rml-json-arrdescent")
+    // `..a` multi-targets: the root object's a, the nested a (a LIST),
+    // and the element's a. jsonpath_ng's `..name` then descends into the
+    // list match's elements, so 774 is matched THREE times (once per
+    // ancestor-a) plus héllo — the array match must explode, not reject
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"a": {"a": [{"a": {"b": 109, "name": 774}, "b": 392}], "name": "héllo"},
+        | "x_1": [521, 58]}""".stripMargin)
+    import spark.implicits._
+    val got = RmlMapper.loadJson(spark, s"$dir/data.json", Some("$..a..name"))
+      .as[String].collect().toVector.sorted
+    assert(got == Vector("774", "774", "774", "héllo"))
+  }
+
   test("array access directly on wildcard matches rejects loudly (never a literal '*' field)") {
     val dir = tmpDir("rml-json-wildarr")
     // on a doc with a literal "*" KEY, binding the name would silently
