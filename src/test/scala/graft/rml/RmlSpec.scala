@@ -548,6 +548,35 @@ class RmlCompilerSpec extends SparkSpec {
     assert(got == Vector("774", "774", "774", "héllo"))
   }
 
+  test("descent into scalar-collapsed array elements rejects loudly (lexeme ambiguity)") {
+    val dir = tmpDir("rml-json-arrdescent-scalar")
+    // all-scalar elements: jsonpath_ng returns [] — here the total
+    // no-match manifests as the documented loud reject (same policy as
+    // every other all-branches-fail navigation)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/plain.json"),
+      """{"a": [1, 2], "x": {"name": "n1"}}""")
+    val e1 = intercept[RmlCompiler.RmlError] {
+      RmlMapper.loadJson(spark, s"$dir/plain.json", Some("$..a..name")).collect()
+    }
+    assert(e1.getMessage.contains("scalar match"))
+    // HETEROGENEOUS elements are a proven in-principle ambiguity, not a
+    // missing feature: Spark's JSON inference collapses [1, {"name": 7}]
+    // to array<string> with element lexeme {"name": 7} — byte-identical
+    // schema AND data to the genuine-string document below, yet
+    // jsonpath_ng answers [7] for the first and [] for the second.
+    // Guessing either way breaks parity on the other, so both reject.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/mixed.json"),
+      """{"a": [1, {"name": 7}]}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/strval.json"),
+      """{"a": ["{\"name\": 7}"]}""")
+    for (f <- Seq("mixed.json", "strval.json")) {
+      val e = intercept[RmlCompiler.RmlError] {
+        RmlMapper.loadJson(spark, s"$dir/$f", Some("$..a..name")).collect()
+      }
+      assert(e.getMessage.contains("scalar match"), s"$f: ${e.getMessage}")
+    }
+  }
+
   test("array access directly on wildcard matches rejects loudly (never a literal '*' field)") {
     val dir = tmpDir("rml-json-wildarr")
     // on a doc with a literal "*" KEY, binding the name would silently
