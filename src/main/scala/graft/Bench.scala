@@ -155,6 +155,14 @@ object Bench {
     val (pipeSec, epsPipe) = replayOnce(spark, segments, 2000000L, buckets = 32,
       CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
     results("cdc_replay_2m_mor_pipelined") = pipeSec
+    // CLUSTERED (sort-ordered) compaction A/B: same MoR replay, rewrites
+    // range-partitioned on the key — write-path cost of the read
+    // optimization (the pruning payoff itself is spec-pinned: point reads
+    // touch <=2 files instead of every salted slice)
+    val (clusSec, epsClus) = replayOnce(spark, segments, 2000000L, buckets = 32,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 16,
+        clusteredCompaction = true))
+    results("cdc_replay_2m_mor_clustered") = clusSec
     // STREAMING-path pipelined apply: Structured Streaming + CdcPipeline
     // over the same log (one segment ≈ one micro-batch via
     // maxFilesPerTrigger) — the north-star deployment mode; target is
@@ -178,7 +186,7 @@ object Bench {
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"cdc_events_per_sec_stream_tail":$epsTail%.0f,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_mor_clustered":$epsClus%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"cdc_events_per_sec_stream_tail":$epsTail%.0f,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}"""
     println(line)
     // the driver captures only a log TAIL — round 4's per-query evidence
     // fell off the front of the artifact. The file copy is always complete.

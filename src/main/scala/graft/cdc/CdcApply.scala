@@ -51,6 +51,14 @@ object CdcApply {
       mergeOnRead: Boolean = false,
       /** compact when any bucket accumulates this many delta files. */
       compactEvery: Int = 8,
+      /** CLUSTERED compaction: rewrite buckets range-partitioned on
+        * (bucket, key...) so each base file covers a contiguous key
+        * interval — point/interval reads then prune to O(1) files per
+        * bucket via fileRanges instead of touching every salted slice.
+        * Off by default: it adds a range-sampling pass per compaction
+        * (A/B-measured; see BASELINE.md) and only read-heavy tables
+        * need it. */
+      clusteredCompaction: Boolean = false,
       /** run triggered compaction on the table's maintenance thread so it
         * never stalls the ordered-commit loop (the streaming/pipelined
         * default); false = inline, deterministic (tests). */
@@ -140,12 +148,26 @@ object CdcApply {
     * `partitionExprs` rides along so the output partitioning satisfies a
     * downstream partitioned write (e.g. the lake bucket column). */
   def lwwDedupSorted(df: DataFrame, keyCols: Seq[String],
-      partitionExprs: Seq[Column], numPartitions: Int): DataFrame = {
+      partitionExprs: Seq[Column], numPartitions: Int,
+      byRange: Boolean = false): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val schema = df.schema
     val keyIdx = keyCols.map(schema.fieldIndex)
-    val shuffled = df
-      .repartition(numPartitions, partitionExprs: _*)
+    // byRange: RANGE-partition on (partitionExprs, keyCols) instead of
+    // hash — each output partition (and so each written file) covers a
+    // CONTIGUOUS key interval, which is what makes per-file min/max
+    // skipping stats selective (clustered compaction). Equal key tuples
+    // land in one partition, so the keep-first LWW below is unaffected;
+    // volume balance comes from Spark's range sampling instead of the
+    // weight-proportional salt (a hot conversation still spreads, over
+    // its turn_idx order). Costs one extra sampling pass over the input
+    // — acceptable off the hot path, which is why the write path keeps
+    // hash salting and only compaction clusters.
+    val shuffled0 =
+      if (byRange)
+        df.repartitionByRange(numPartitions, (partitionExprs ++ keyCols.map(col)): _*)
+      else df.repartition(numPartitions, partitionExprs: _*)
+    val shuffled = shuffled0
       .sortWithinPartitions(
         partitionExprs.map(_.asc) ++ keyCols.map(col(_).asc) :+ col("_lsn").desc: _*)
     shuffled.mapPartitions { rows =>
@@ -331,9 +353,10 @@ object CdcApply {
     * deterministic timing. */
   private[cdc] def maybeCompact(table: LakeTable, opts: Options): Unit =
     if (opts.backgroundCompact)
-      table.maybeCompactAsync(opts.compactEvery, opts.mergeSaltPartitions)
+      table.maybeCompactAsync(opts.compactEvery, opts.mergeSaltPartitions,
+        clustered = opts.clusteredCompaction)
     else if (table.maxDeltaFiles >= opts.compactEvery)
       // same leveling as the background path: fold only the deep buckets
       table.compact(saltPartitions = opts.mergeSaltPartitions,
-        minDeltaFiles = opts.compactEvery)
+        minDeltaFiles = opts.compactEvery, clustered = opts.clusteredCompaction)
 }

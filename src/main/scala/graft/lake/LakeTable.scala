@@ -634,10 +634,17 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * explicit-maintenance semantics). NOTE: `dropTombstonesBelowLsn` is a
     * full maintenance rewrite of every data-bearing bucket by definition —
     * it IGNORES `minDeltaFiles` (a tombstone can live in a bucket with no
-    * deltas at all). */
+    * deltas at all). `clustered`: range-partition the rewrite on
+    * (_bucket, key...) so every output file covers a contiguous key
+    * interval (Iceberg's "sort" rewrite strategy vs the default
+    * "binpack") — per-file fileRanges become selective and
+    * readConv/readConvRange prune to O(1) files per bucket in the
+    * compacted base; costs one extra range-sampling pass, which is why
+    * it lives here, off the hot write path. */
   def compact(saltPartitions: Int = 4,
       dropTombstonesBelowLsn: Option[Long] = None,
-      minDeltaFiles: Int = 1): Unit = {
+      minDeltaFiles: Int = 1,
+      clustered: Boolean = false): Unit = {
     val s = currentSnapshot
     // normal compaction touches only (sufficiently deep) delta-bearing
     // buckets; a tombstone-GC pass is a maintenance rewrite of every
@@ -653,7 +660,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       .withColumn("_bucket", bucketOfN(col(keyCols.head), s.numBuckets))
     val newFiles = rewriteBuckets(all, affected, keyCols, saltPartitions,
       Map.empty, sortedDedup = true, saltBuckets = 1,
-      dropTombstonesBelowLsn = dropTombstonesBelowLsn)
+      dropTombstonesBelowLsn = dropTombstonesBelowLsn, clustered = clustered)
     // footer IO stays OUTSIDE the commit lock — a background compaction
     // must never stall the ordered-commit loop on 100+ footer reads
     val (_, ranges) = footerStats(newFiles.filter(_._2.nonEmpty))
@@ -708,7 +715,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   /** Queue one compaction if `maxDeltaFiles >= trigger` and none is already
     * queued/running (at-most-one in flight; the trigger re-fires on the
     * next apply if deltas are still deep). */
-  def maybeCompactAsync(trigger: Int, saltPartitions: Int = 4): Unit =
+  def maybeCompactAsync(trigger: Int, saltPartitions: Int = 4,
+      clustered: Boolean = false): Unit =
     if (maxDeltaFiles >= trigger && compactQueued.compareAndSet(false, true))
       maintenancePool.submit(new Runnable {
         def run(): Unit =
@@ -716,7 +724,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
           // background pass does O(deep buckets) work, not O(table), so
           // compaction cost stays bounded as the table grows (the 10^8
           // measurement showed whole-table folds dominating per-batch cost)
-          try compact(saltPartitions, minDeltaFiles = trigger)
+          try compact(saltPartitions, minDeltaFiles = trigger,
+            clustered = clustered)
           catch {
             // a racing base rewrite won; the next trigger simply retries
             case _: java.util.ConcurrentModificationException => ()
@@ -790,7 +799,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   private def rewriteBuckets(all: DataFrame, affected: Set[Int],
       keyCols: Seq[String], saltPartitions: Int,
       bucketWeights: Map[Int, Long], sortedDedup: Boolean, saltBuckets: Int,
-      dropTombstonesBelowLsn: Option[Long] = None): Map[Int, Seq[String]] = {
+      dropTombstonesBelowLsn: Option[Long] = None,
+      clustered: Boolean = false): Map[Int, Seq[String]] = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = rootPath.resolve(s"data/commit-$commitId")
     val nAffected = math.max(affected.size, 1)
@@ -840,7 +850,13 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     // sort-within-partitions + streaming keep-first. Fallback: two-exchange
     // groupBy max_by.
     val deduped =
-      if (sortedDedup) {
+      if (sortedDedup && clustered)
+        // sort-ordered rewrite (Iceberg "sort" compaction strategy): range
+        // partitions on (_bucket, key...) give every file a contiguous key
+        // interval, so fileRanges become selective for point/interval reads
+        graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, Seq(col("_bucket")),
+          math.max(cores, nAffected), byRange = true)
+      else if (sortedDedup) {
         val pexprs = if (anySalt) Seq(col("_bucket"), saltExpr) else Seq(col("_bucket"))
         graft.cdc.CdcApply.lwwDedupSorted(all, keyCols, pexprs, totalParts)
       } else {

@@ -206,6 +206,72 @@ class LakeSpec extends SparkSpec {
       "compacted base files must carry key ranges")
   }
 
+  test("clustered compaction: contiguous per-file key intervals; point reads prune to O(1) files") {
+    import spark.implicits._
+    val table = new LakeTable(spark, tmpDir("cluster-table"), numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    // batches with FULLY OVERLAPPING conv ranges: every hash-salted delta
+    // slice spans nearly the whole keyspace, so before clustering the
+    // range stats cannot prune anything within a bucket
+    def mkBatch(i: Int) = (0 until 80).map { j =>
+      ((i * 1000 + j).toLong, "I", f"conv-$j%03d", i, "user", s"text-$i-$j")
+    }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    (0 until 4).foreach { i =>
+      CdcApply.applyBatch(table, mkBatch(i), i.toLong,
+        CdcApply.Options(mergeOnRead = true, compactEvery = 100))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    val expect = rows(table.read())
+    val prunedBefore = table.filesForConv("conv-041")
+    assert(prunedBefore.size >= 4,
+      s"overlapping salted deltas must defeat range pruning: ${prunedBefore.size}")
+
+    table.compact(clustered = true)
+    assert(rows(table.read()) == expect, "clustered rewrite preserves state")
+    val s = table.currentSnapshot
+    assert(s.deltas.values.flatten.isEmpty, "compaction folded all deltas")
+    // the clustering property: within each bucket, sorted by range lo, no
+    // file starts before the previous one ends (files may share only a
+    // boundary conversation whose turns straddle two range partitions)
+    for ((b, fs) <- s.files if fs.size > 1) {
+      val ranges = fs.map(f => s.fileRanges(f)).sortBy(_._1)
+      ranges.sliding(2).foreach { w =>
+        assert(w(1)._1 >= w(0)._2,
+          s"bucket $b files must cover contiguous intervals: $ranges")
+      }
+    }
+    assert(s.files.exists(_._2.size > 1),
+      "fixture must produce multi-file buckets for the pruning claim")
+    // point reads now touch at most 2 files (== 2 only at a boundary conv)
+    for (conv <- Seq("conv-000", "conv-017", "conv-041", "conv-079")) {
+      val pruned = table.filesForConv(conv)
+      assert(pruned.nonEmpty && pruned.size <= 2,
+        s"$conv: clustered point read touches ${pruned.size} files")
+      assert(rows(table.readConv(conv)) == rows(table.read().filter($"conv_id" === conv)))
+    }
+    // interval reads prune to the overlapping interval's files only
+    val (rlo, rhi) = ("conv-010", "conv-019")
+    assert(table.filesForConvRange(rlo, rhi).size < s.files.values.flatten.size)
+    assert(rows(table.readConvRange(rlo, rhi)) ==
+      rows(table.read().filter($"conv_id" >= rlo && $"conv_id" <= rhi)))
+
+    // the Options plumb: auto-compaction runs clustered during a replay
+    // and converges to the same state (LWW through the clustered rewrite)
+    val t2 = new LakeTable(spark, tmpDir("cluster-table2"), numBuckets = 2)
+    t2.create(Model.transcriptSchema)
+    (0 until 4).foreach { i =>
+      CdcApply.applyBatch(t2, mkBatch(i), i.toLong,
+        CdcApply.Options(mergeOnRead = true, compactEvery = 2,
+          backgroundCompact = false, clusteredCompaction = true))
+    }
+    assert(rows(t2.read()) == expect, "clustered auto-compaction preserves state")
+    assert(t2.currentSnapshot.files.values.flatten
+      .forall(t2.currentSnapshot.fileRanges.contains),
+      "clustered base files carry key ranges")
+  }
+
   test("leveled compaction folds only buckets at/above the depth threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
