@@ -63,7 +63,15 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       * grace): every file written by [[writeDeltaFiles]]/[[merge]]/
       * [[compact]] is registered pending until its commit resolves. */
     val autoExpireEvery: Int = 0,
-    val autoExpireKeep: Int = 4) {
+    val autoExpireKeep: Int = 4,
+    /** Cap on rows per written data file (0 = unbounded, the default).
+      * At 100-TB scale one bucket slice must not become one multi-GB
+      * parquet file: with a cap, Spark's writer rolls a partition into
+      * several files in iteration order — which is key-sorted in the
+      * LWW/clustered rewrites, so rolled files keep CONTIGUOUS key
+      * ranges and the data-skipping stats stay selective (each rolled
+      * file covers a narrower interval, improving pruning further). */
+    val maxRecordsPerFile: Long = 0L) {
   import LakeTable._
 
   /** Commits since the last auto-expiry (driver-side counter; a restart
@@ -577,11 +585,18 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     DeltaWrite(written, stats, newCols, ranges)
   }
 
+  /** Data-file writer with the table's file-size bound applied (see
+    * [[maxRecordsPerFile]]; 0 = Spark default, unbounded). */
+  private def boundedWriter(df: DataFrame) =
+    if (maxRecordsPerFile > 0)
+      df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+    else df.write
+
   /** Direct bucket-partitioned write of `df` as-is (no exchange, no LWW). */
   private def writePartitioned(df: DataFrame, listSet: Set[Int]): Map[Int, Seq[String]] = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = rootPath.resolve(s"data/commit-$commitId")
-    df.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
+    boundedWriter(df).partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
     listFiles(outDir, listSet)
   }
 
@@ -868,7 +883,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       case Some(w) => deduped.filter(!(col("_op") === "D" && col("_lsn") < w))
       case None => deduped
     }
-    writeDf.write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
+    boundedWriter(writeDf).partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
     listFiles(outDir, affected)
   }
 

@@ -272,6 +272,46 @@ class LakeSpec extends SparkSpec {
       "clustered base files carry key ranges")
   }
 
+  test("maxRecordsPerFile: rolled files keep contiguous key ranges; pruning stays selective") {
+    import spark.implicits._
+    val table = new LakeTable(spark, tmpDir("roll-table"), numBuckets = 2,
+      maxRecordsPerFile = 50L)
+    table.create(Model.transcriptSchema)
+    val batch = (0 until 100).flatMap { j => (0 until 4).map { t =>
+      ((j * 10 + t).toLong, "I", f"conv-$j%03d", t, "user", s"text-$j-$t") } }
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    CdcApply.applyBatch(table, batch, 0L,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 100))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(3))).toSet
+    val expect = rows(table.read())
+    table.compact(clustered = true)
+    val s = table.currentSnapshot
+    // ~200 rows per bucket against a 50-row cap: the writer must roll each
+    // range partition into several files
+    assert(s.files.values.forall(_.size >= 2),
+      s"file-size cap must roll partitions into multiple files: ${s.files.view.mapValues(_.size).toMap}")
+    // rolled files are written in the partition's sort order, so they stay
+    // contiguous — sorted by range lo, no file starts before the previous
+    // one ends (boundary conv may straddle)
+    for ((b, fs) <- s.files if fs.size > 1) {
+      val ranges = fs.map(f => s.fileRanges(f)).sortBy(_._1)
+      ranges.sliding(2).foreach { w =>
+        assert(w(1)._1 >= w(0)._2,
+          s"bucket $b rolled files must stay contiguous: $ranges")
+      }
+    }
+    // pruning got FINER, not coarser: each rolled file covers a narrower
+    // interval, and a point read still touches at most a boundary pair
+    val pruned = table.filesForConv("conv-050")
+    assert(pruned.nonEmpty && pruned.size <= 2,
+      s"point read over rolled files touches ${pruned.size}")
+    assert(rows(table.read()) == expect, "cap + clustering preserve state")
+    assert(rows(table.readConv("conv-050")) ==
+      rows(table.read().filter($"conv_id" === "conv-050")))
+  }
+
   test("leveled compaction folds only buckets at/above the depth threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
