@@ -58,9 +58,16 @@ def gen_doc(depth):
         r = rng.random()
         if depth <= 0 or r < 0.35:
             obj[name] = gen_scalar()
-        elif r < 0.55:
+        elif r < 0.52:
             obj[name] = [gen_scalar() for _ in range(rng.randint(1, 6))]
-        elif r < 0.8:
+        elif r < 0.62:
+            # NESTED arrays (list-of-lists-of-objects): the shape whose
+            # [n]/[*]/slice matches are themselves lists — a following
+            # `..` must enter them (Descendants walks list elements)
+            obj[name] = [[gen_doc(depth - 1)
+                          for _ in range(rng.randint(1, 2))]
+                         for _ in range(rng.randint(1, 3))]
+        elif r < 0.82:
             obj[name] = [gen_doc(depth - 1) for _ in range(rng.randint(1, 4))]
         else:
             obj[name] = gen_doc(depth - 1)
@@ -71,6 +78,38 @@ def field_access(name):
     if IDENT.match(name):
         return "." + name
     return "['" + name + "']"
+
+
+def descent_token(name):
+    return ".." + name if IDENT.match(name) else "..['" + name + "']"
+
+
+def keys_below(node):
+    """All dict keys anywhere at or below node (descent targets)."""
+    ks = set()
+    if isinstance(node, dict):
+        ks |= set(node.keys())
+        for v in node.values():
+            ks |= keys_below(v)
+    elif isinstance(node, list):
+        for e in node:
+            ks |= keys_below(e)
+    return ks
+
+
+def values_of_key(node, k):
+    """Every value held under key k anywhere at or below node, in
+    deterministic document order."""
+    vals = []
+    if isinstance(node, dict):
+        for kk, v in node.items():
+            if kk == k:
+                vals.append(v)
+            vals.extend(values_of_key(v, k))
+    elif isinstance(node, list):
+        for e in node:
+            vals.extend(values_of_key(e, k))
+    return vals
 
 
 CONFLICT = object()
@@ -188,6 +227,17 @@ def gen_path(doc):
             if not node:
                 return None
             r = rng.random()
+            if r < 0.12:
+                # descent FROM a list match ($.a[0]..name and friends):
+                # Descendants enters list elements, so a descent is valid
+                # here whenever some key exists below; continue the walk
+                # from one representative instance of that key
+                ks = sorted(keys_below(node))
+                if ks:
+                    k = rng.choice(ks)
+                    segs.append(descent_token(k))
+                    node = rng.choice(values_of_key(node, k))
+                    continue
             if r < 0.4:
                 segs.append("[*]")
                 node = rng.choice(node)
@@ -217,6 +267,26 @@ def gen_path(doc):
     return "$" + "".join(segs)
 
 
+def indexes_on_all_list_descent_targets(doc, path):
+    """True iff every numeric bracket group at/after the first descent
+    sits directly on a `..target` whose every instance below `doc` is a
+    list (the safe shape — see the caller's comment)."""
+    first = path.find("..")
+    for m in re.finditer(r"\[\s*-?\d+\s*[,\]]", path):
+        if m.start() < first:
+            continue
+        dm = re.search(
+            r"\.\.(?:\['([^']+)'\]|([A-Za-z_][A-Za-z0-9_]*))$",
+            path[:m.start()])
+        if not dm:
+            return False
+        k = dm.group(1) or dm.group(2)
+        vals = values_of_key(doc, k)
+        if not vals or not all(isinstance(v, list) for v in vals):
+            return False
+    return True
+
+
 def main():
     out, seen = [], set()
     tries = 0
@@ -234,11 +304,15 @@ def main():
         # after a multi-target descent, later segments apply across
         # heterogeneous instances; numeric indexing a non-list there
         # CHAR-indexes strings / crashes in jsonpath_ng — the engine's
-        # documented loud-reject boundary, so exclude index forms that
-        # follow a descent (slices/[*] are covered via singleton-wrap)
+        # documented loud-reject boundary. One shape IS safe and stays
+        # in scope: an index sitting DIRECTLY on a descent target whose
+        # every instance below the doc is a list ($..x[0]...) — then
+        # jsonpath_ng indexes real lists in every branch, same as the
+        # engine. Everything else index-after-descent is excluded.
         head, _, tail = path.partition("..")
         if tail and re.search(r"\[\s*-?\d+\s*[,\]]", tail):
-            continue
+            if not indexes_on_all_list_descent_targets(doc, path):
+                continue
         try:
             matches = [m.value for m in parse(path).find(doc)]
         except Exception:

@@ -820,9 +820,12 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val outDir = rootPath.resolve(s"data/commit-$commitId")
     val nAffected = math.max(affected.size, 1)
     val cores = spark.sparkContext.defaultParallelism
-    val baseFactor = math.max(1, math.min(math.max(saltPartitions, 1),
+    // Salt plan (hash path only — the clustered branch below range-
+    // partitions on the keys themselves and touches none of this; lazy
+    // keeps the clustered rewrite free of the dead driver-side work).
+    lazy val baseFactor = math.max(1, math.min(math.max(saltPartitions, 1),
       math.ceil(cores.toDouble / nAffected).toInt))
-    val saltOf: Map[Int, Int] = if (bucketWeights.nonEmpty && saltPartitions > 0) {
+    lazy val saltOf: Map[Int, Int] = if (bucketWeights.nonEmpty && saltPartitions > 0) {
       // Weight-PROPORTIONAL slice allocation against a budget of one full
       // wave (T = cores): slices(b) ≈ weight(b)/totalW × T, so every slice
       // carries ≈ totalW/T rows REGARDLESS of bucket skew. The previous
@@ -856,10 +859,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         .take(leftover).map(_._1).toSet
       base.map { case (b, n) => b -> (n + (if (extra.contains(b)) 1 else 0)) }
     } else affected.map(_ -> baseFactor).toMap
-    val totalParts = math.max(1, saltOf.values.sum)
-    val anySalt = saltOf.values.exists(_ > 1)
-    val saltDivisor = element_at(typedLit(saltOf), col("_bucket"))
-    val saltExpr = pmod(xxhash64(keyCols.map(col): _*), saltDivisor)
+    lazy val totalParts = math.max(1, saltOf.values.sum)
+    lazy val anySalt = saltOf.values.exists(_ > 1)
+    lazy val saltExpr =
+      pmod(xxhash64(keyCols.map(col): _*), element_at(typedLit(saltOf), col("_bucket")))
 
     // LWW in ONE pass. Default: single exchange by (bucket, salted key) +
     // sort-within-partitions + streaming keep-first. Fallback: two-exchange

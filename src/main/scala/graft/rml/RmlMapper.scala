@@ -223,6 +223,46 @@ object RmlMapper {
     }
   }
 
+  /** Explode a single-column frame through any depth of array nesting.
+    * This is the shape `..`-descent enters: jsonpath_ng's Descendants
+    * walks list elements (unlike plain field/index access, which falls
+    * through on lists), so a segment whose match is array-valued must
+    * flatten to the elements before a following descent resolves within
+    * them. No-op on non-array frames. */
+  private def flattenArrays(df: DataFrame): DataFrame = {
+    var cur = df
+    while (cur.schema.head.dataType.isInstanceOf[ArrayType]) {
+      val c = cur.schema.head.name
+      cur = cur.select(explode(col(q(c))).as(c))
+    }
+    cur
+  }
+
+  /** What the NEXT segment needs from the current match: `Plain` rows
+    * widen immediately; a following `..` flattens arrays first
+    * (Descendants enters lists); a following chained bracket group
+    * (`a[*][-1]`) consumes the RAW single-column match unwidened. */
+  private sealed trait Next
+  private object Next {
+    case object Plain extends Next
+    case object Descend extends Next
+    case object Chain extends Next
+  }
+  private def nextOf(rest: List[Seg]): Next = rest.headOption match {
+    case Some(_: DescendSeg) => Next.Descend
+    case Some(_: ChainSeg) => Next.Chain
+    case _ => Next.Plain
+  }
+
+  /** Finalize a raw single-column (`_row`) match frame per what the
+    * next segment needs — see [[Next]]. */
+  private def finishMatch(raw: DataFrame, it: String, what: String,
+      next: Next): DataFrame = next match {
+    case Next.Chain => raw
+    case Next.Descend => widen(flattenArrays(raw), it, what)
+    case Next.Plain => widen(raw, it, what)
+  }
+
   /** True iff `name` is an ARRAY field; absent fields throw the loud
     * no-field RmlError. Non-array presence routes [*]/slices to the
     * jsonpath_ng singleton-wrap quirk in [[applySeg]]. */
@@ -266,6 +306,67 @@ object RmlMapper {
     df.select(get(arr, at).as("_row"), at.as("_at"), size(arr).as("_n"))
       .filter(col("_at") >= 0 && col("_at") < col("_n"))
       .select("_row")
+  }
+
+  /** Python slice semantics against the per-row array length: negative
+    * bounds count from the end, omitted bounds span the array, step
+    * strides from the (normalized) start. Returns the raw `_row` frame
+    * of kept elements. */
+  private def sliceArray(df: DataFrame, name: String, startO: Option[Int],
+      endO: Option[Int], step: Int): DataFrame = {
+    val arr = col(q(name))
+    val exploded = df.select(size(arr).as("_n"), posexplode(arr).as(Seq("_i", "_row")))
+    val n = col("_n")
+    def norm(v: Int): Column = if (v < 0) greatest(n + v, lit(0)) else least(lit(v), n)
+    val lo = startO.map(norm).getOrElse(lit(0))
+    val hi = endO.map(norm).getOrElse(n)
+    exploded
+      .filter(col("_i") >= lo && col("_i") < hi && (col("_i") - lo) % step === 0)
+      .select(col("_row"))
+  }
+
+  /** A bracket group CHAINED after another on the same token
+    * (`a[*][-1]`) applies to the previous group's RAW match in `_row`.
+    * On an array match, index/slice/[*] select within it (jsonpath_ng
+    * navigates each match's list); on a non-array match, [*] and slices
+    * singleton-wrap (the value itself matches, window permitting) while
+    * a numeric index rejects loudly — base jsonpath_ng CRASHES there
+    * (TypeError on scalars, KeyError on dicts), so no silent answer is
+    * faithful. Probed against jsonpath_ng 1.x on 2026-08-18. */
+  private def applyChained(df: DataFrame, op: Seg, it: String,
+      next: Next): DataFrame = {
+    val isArr = df.schema.head.dataType.isInstanceOf[ArrayType]
+    op match {
+      case ArraySeg(_) =>
+        if (isArr)
+          finishMatch(df.select(explode(col("_row")).as("_row")), it,
+            "a chained [*] element", next)
+        else finishMatch(df, it, "a chained [*] match", next)
+      case SliceSeg(_, startO, endO, step) =>
+        if (isArr)
+          finishMatch(sliceArray(df, "_row", startO, endO, step), it,
+            "a chained slice element", next)
+        else {
+          // singleton wrap: [value] sliced — hit iff the normalized
+          // window includes index 0 (same rule as the named slice quirk)
+          val hit = startO.forall(_ <= 0) && endO.forall(_ >= 1)
+          finishMatch(if (hit) df else df.where(lit(false)), it,
+            "a chained slice match", next)
+        }
+      case IndexSeg(_, idx) =>
+        if (!isArr)
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': chained index [$idx] on a non-array match (base jsonpath_ng crashes here)")
+        finishMatch(indexSelect(df, "_row", idx), it, "a chained index match", next)
+      case IndexUnionSeg(_, idxs) =>
+        if (!isArr)
+          throw RmlCompiler.RmlError(
+            s"JSONPath '$it': chained index union on a non-array match (base jsonpath_ng crashes here)")
+        finishMatch(idxs.map(indexSelect(df, "_row", _)).reduce(_ unionAll _),
+          it, "a chained index match", next)
+      case other =>
+        throw new IllegalStateException(s"not a chainable segment: $other") // unreachable
+    }
   }
 
   /** Union the member VALUES at struct-field paths `members` (wildcard
@@ -372,28 +473,34 @@ object RmlMapper {
     * is a struct (possibly behind arrays). */
   private def navigateParent(df: DataFrame, path: List[String]): DataFrame =
     path.foldLeft(df) { (d, fname) =>
-      var cur = d.select(col(q(fname)).as("_d"))
-      while (cur.schema.head.dataType.isInstanceOf[ArrayType])
-        cur = cur.select(explode(col("_d")).as("_d"))
-      cur.select("_d.*")
+      flattenArrays(d.select(col(q(fname)).as("_d"))).select("_d.*")
     }
 
-  private def applySeg(df: DataFrame, seg: Seg, it: String): DataFrame = seg match {
+  /** `next` describes the following segment (see [[Next]]): a `..`
+    * flattens array-valued matches into their elements (Descendants
+    * enters lists) instead of hitting [[widen]]'s iterate-it-explicitly
+    * reject; a chained bracket group takes the raw match unwidened. */
+  private def applySeg(df: DataFrame, seg: Seg, it: String,
+      next: Next): DataFrame = seg match {
     case ArraySeg(name) if name.isEmpty =>
       df // top-level array: Spark's json reader already row-izes it
     case ArraySeg(name) if !isArrayField(df, name, it) =>
       // base jsonpath_ng Slice quirk: [*] on a NON-list wraps the value
       // in a singleton list, so it matches the value itself — same as
       // plain field access ($.o[*] matches the dict, $.s[*] the string)
-      applySeg(df, FieldSeg(name), it)
+      applySeg(df, FieldSeg(name), it, next)
     case ArraySeg(name) =>
-      widen(df.select(explode(col(q(name))).as("_row")), it, s"an element of '$name'")
+      finishMatch(df.select(explode(col(q(name))).as("_row")), it,
+        s"an element of '$name'", next)
+    case ChainSeg(op) =>
+      // the previous bracket group left its raw match in `_row`
+      applyChained(df, op, it, next)
     case IndexSeg(name, idx) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (index on top-level array): $it")
       requireArrayField(df, name, it)
-      widen(indexSelect(df, name, idx), it, s"'$name[$idx]'")
+      finishMatch(indexSelect(df, name, idx), it, s"'$name[$idx]'", next)
     case IndexUnionSeg(name, idxs) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
@@ -401,33 +508,22 @@ object RmlMapper {
       requireArrayField(df, name, it)
       // one frame per index, unioned — preserves jsonpath_ng's multiset
       // semantics ($.s[0,0] matches the element twice)
-      widen(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it,
-        s"an element of '$name'")
+      finishMatch(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it,
+        s"an element of '$name'", next)
     case SliceSeg(name, startO, endO, _) if name.nonEmpty && !isArrayField(df, name, it) =>
       // singleton-wrap quirk for slices too: jsonpath_ng slices [value],
       // so the value matches iff the normalized window includes index 0
       // of a length-1 list — statically start<=0 (or omitted) and end>=1
       // (or omitted); step never matters for the single element
       val hit = startO.forall(_ <= 0) && endO.forall(_ >= 1)
-      val base = applySeg(df, FieldSeg(name), it)
+      val base = applySeg(df, FieldSeg(name), it, next)
       if (hit) base else base.where(lit(false))
     case SliceSeg(name, startO, endO, step) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (slice on top-level array): $it")
-      // Python slice semantics against the per-row array length: negative
-      // bounds count from the end, omitted bounds span the array, step
-      // strides from the (normalized) start
-      val arr = col(q(name))
-      val exploded = df.select(size(arr).as("_n"), posexplode(arr).as(Seq("_i", "_row")))
-      val n = col("_n")
-      def norm(v: Int): Column = if (v < 0) greatest(n + v, lit(0)) else least(lit(v), n)
-      val lo = startO.map(norm).getOrElse(lit(0))
-      val hi = endO.map(norm).getOrElse(n)
-      val kept = exploded
-        .filter(col("_i") >= lo && col("_i") < hi && (col("_i") - lo) % step === 0)
-        .select(col("_row"))
-      widen(kept, it, s"an element of '$name'")
+      finishMatch(sliceArray(df, name, startO, endO, step), it,
+        s"an element of '$name'", next)
     case WildcardSeg | FieldUnionSeg(_, _) =>
       throw new IllegalStateException("wildcard/union segments are handled by applyAll") // unreachable
     case FieldSeg(name) =>
@@ -441,8 +537,8 @@ object RmlMapper {
           // jsonpath_ng DOES match, as None) — we drop both; an explicit
           // JSON null would be discarded by RML null-skip downstream
           // anyway (reference definitions.h:6).
-          widen(df.select(col(q(name)).as("_row")).filter(col("_row").isNotNull),
-            it, s"field '$name'")
+          finishMatch(df.select(col(q(name)).as("_row")).filter(col("_row").isNotNull),
+            it, s"field '$name'", next)
         case None =>
           throw RmlCompiler.RmlError(
             s"JSONPath '$it': no field '$name' in the document schema")
@@ -533,7 +629,13 @@ object RmlMapper {
     case (seg @ (WildcardSeg | FieldUnionSeg(_, _))) :: rest =>
       val members = unionMembers(df, seg, it)
       val mixedKinds = members.map(m => memberKind(m._3)).distinct.size > 1
-      if (rest.isEmpty || !(mixedKinds || structKeyShapesConflict(members)))
+      // a following `..` lets ARRAY members participate (Descendants
+      // enters lists) — route them through per-member navigation with
+      // flattening instead of memberUnion's loud array reject
+      val descendNext = rest.headOption.exists(_.isInstanceOf[DescendSeg])
+      val arrayMembers = members.exists(m => memberKind(m._3) == "array")
+      if (rest.isEmpty ||
+          !(mixedKinds || structKeyShapesConflict(members) || (descendNext && arrayMembers)))
         applyAll(memberUnion(df, members, it), rest, it)
       else {
         // jsonpath_ng applies trailing segments to each member match
@@ -545,12 +647,22 @@ object RmlMapper {
         // (same branch policy as multi-parent descent above: a member
         // whose navigation fails contributes NO matches unless EVERY
         // member fails, which rethrows the first error).
-        rejectArrayMembers(members, it)
-        val attempts = members.map { case (p, _, dt) =>
+        if (!descendNext) rejectArrayMembers(members, it)
+        val attempts = members.map { case (p, disp, dt) =>
           // a scalar member's marked frame makes applyAll reject any
           // trailing segment (jsonpath_ng matches nothing inside a
           // scalar), so it lands in Left and contributes no matches
-          try Right(applyAll(memberFrame(df, p, dt), rest, it))
+          try Right {
+            val frame = dt match {
+              case _: ArrayType if descendNext =>
+                // list member before `..`: flatten into its elements
+                widen(flattenArrays(
+                  df.filter(col(p).isNotNull).select(col(p).as("_row"))),
+                  it, s"member '$disp'")
+              case _ => memberFrame(df, p, dt)
+            }
+            applyAll(frame, rest, it)
+          }
           catch { case e: RmlCompiler.RmlError => Left(e) }
         }
         val finals = attempts.collect { case Right(f) => f }
@@ -561,20 +673,13 @@ object RmlMapper {
             s"JSONPath '$it': union branches mix scalar and object matches")
         unionFrames(finals, it, "union branch")
       }
-    case FieldSeg(name) :: rest
-        if rest.headOption.exists(_.isInstanceOf[DescendSeg]) &&
-          df.schema.find(_.name == name).exists(_.dataType.isInstanceOf[ArrayType]) =>
-      // an ARRAY match followed by recursive descent: jsonpath_ng's
-      // Descendants DOES enter list elements (unlike plain field access,
-      // which falls through on lists), so a `..a..name` branch whose `a`
-      // is a list must explode into the elements (through nested arrays)
-      // and resolve the descent within them — widen's array reject would
-      // silently drop this branch's matches
-      var cur = df.select(col(q(name)).as("_row")).filter(col("_row").isNotNull)
-      while (cur.schema.head.dataType.isInstanceOf[ArrayType])
-        cur = cur.select(explode(col("_row")).as("_row"))
-      applyAll(widen(cur, it, s"field '$name'"), rest, it)
-    case seg :: rest => applyAll(applySeg(df, seg, it), rest, it)
+    case seg :: rest =>
+      // tell the segment what follows: a `..` flattens array-valued
+      // matches into their elements (jsonpath_ng's Descendants enters
+      // lists; widen's array reject would silently drop a
+      // `..a..name`/`..x[0]..name` branch's matches otherwise), and a
+      // chained bracket group consumes the raw match unwidened
+      applyAll(applySeg(df, seg, it, nextOf(rest)), rest, it)
   }
 
   private sealed trait Seg
@@ -587,6 +692,10 @@ object RmlMapper {
   private final case class FieldUnionSeg(name: String, fields: Seq[String]) extends Seg
   /** `.*` — every member value of the current object(s). */
   private case object WildcardSeg extends Seg
+  /** A bracket group chained after another on the same token
+    * (`a[*][-1]`); `op` is an array segment with an empty name, applied
+    * to the previous group's raw `_row` match — see [[applyChained]]. */
+  private final case class ChainSeg(op: Seg) extends Seg
   /** `..name` — descend to every schema path whose parent holds a field
     * `name` (exploding arrays along the way), then continue with the
     * normal segments (the following segment consumes `name` itself). */
@@ -724,15 +833,36 @@ object RmlMapper {
           throw RmlError(
             s"unsupported JSONPath (array access directly on wildcard matches '*[$g]' — name the member, or union fields with *['a','b']): $p")
         val name = if (pendingIsName) pending else ""
-        if (!pendingIsName && out.nonEmpty)
-          throw RmlError(
-            s"unsupported JSONPath (chained array access '$tok' — one index/slice per field): $p")
-        out += parseBracket(name, g.trim, p)
+        if (!pendingIsName && out.nonEmpty) out.last match {
+          // a second/third bracket group on the same token applies to
+          // the previous group's raw match (jsonpath_ng `a[*][-1]`);
+          // only array-producing groups can host one
+          case _: ChainSeg | ArraySeg(_) | IndexSeg(_, _) | IndexUnionSeg(_, _) |
+              SliceSeg(_, _, _, _)
+              if !rootArrayToken(out.head) =>
+            out += ChainSeg(parseBracket("", g.trim, p))
+          case _ =>
+            // chained on the document root ($[*][0] — the reader already
+            // row-ized the root array, there is no raw match column) or
+            // after a field union: out of scope, reject loudly
+            throw RmlError(
+              s"unsupported JSONPath (chained array access '$tok'): $p")
+        }
+        else out += parseBracket(name, g.trim, p)
         pending = ""; pendingIsName = false
     }
     flushPending()
     if (out.isEmpty) throw RmlError(s"unsupported JSONPath segment '$tok' in: $p")
     out.toSeq
+  }
+
+  /** True iff the token's first segment is a NAMELESS array group —
+    * the `$[*]`/`$[0]` document-root forms, which have no raw match
+    * column to chain further groups onto. */
+  private def rootArrayToken(head: Seg): Boolean = head match {
+    case ArraySeg("") | IndexSeg("", _) | IndexUnionSeg("", _) |
+        SliceSeg("", _, _, _) => true
+    case _ => false
   }
 
   private def parseBracket(name: String, content: String, p: String): Seg = {

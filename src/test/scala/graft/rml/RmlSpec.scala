@@ -548,6 +548,79 @@ class RmlCompilerSpec extends SparkSpec {
     assert(got == Vector("774", "774", "774", "héllo"))
   }
 
+  test("descent after index/slice/[*]/wildcard-member array matches enters the list (jsonpath_ng parity)") {
+    import spark.implicits._
+    def got(dir: String, json: String, path: String): Vector[String] = {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"), json)
+      RmlMapper.loadJson(spark, s"$dir/data.json", Some(path))
+        .as[String].collect().toVector.sorted
+    }
+    // every expected vector below was probed against real jsonpath_ng
+    // (python3, the library the reference delegates to)
+    val d1 = tmpDir("rml-json-descidx1")
+    // multi-branch descent, then INDEX whose match is itself an array:
+    // Descendants enters the list match — branch p must not be dropped
+    val doc1 = """{"p": {"x": [[{"name": 1}]]}, "r": {"x": [{"name": 3}]}}"""
+    assert(got(d1, doc1, "$..x[0]..name") == Vector("1", "3"))
+    val d1b = tmpDir("rml-json-descidx1b")
+    assert(got(d1b, doc1, "$..x[0:1]..name") == Vector("1", "3"))
+    // [*]/index/slice over a list-of-lists followed by descent
+    val doc2 = """{"a": [[{"name": 7}], [{"name": 8}, {"name": 9}]]}"""
+    assert(got(tmpDir("rml-json-descidx2"), doc2, "$.a[*]..name") == Vector("7", "8", "9"))
+    assert(got(tmpDir("rml-json-descidx3"), doc2, "$.a[0]..name") == Vector("7"))
+    assert(got(tmpDir("rml-json-descidx4"), doc2, "$.a[1]..name") == Vector("8", "9"))
+    assert(got(tmpDir("rml-json-descidx5"), doc2, "$.a[0:2]..name") == Vector("7", "8", "9"))
+    // wildcard / field-union members that are ARRAYS also participate
+    // when a descent follows (memberUnion's reject is for plain access)
+    val doc3 = """{"p": {"a": [{"name": 1}], "b": {"name": 2}}}"""
+    assert(got(tmpDir("rml-json-descidx6"), doc3, "$.p.*..name") == Vector("1", "2"))
+    assert(got(tmpDir("rml-json-descidx7"), doc3, "$.p['a','b']..name") == Vector("1", "2"))
+    // negative control: scalar elements still cannot host a descent
+    val d8 = tmpDir("rml-json-descidx8")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d8/data.json"),
+      """{"a": [1, 2]}""")
+    assertThrows[RmlCompiler.RmlError](
+      RmlMapper.loadJson(spark, s"$d8/data.json", Some("$.a[0]..name")).collect())
+  }
+
+  test("chained bracket groups on nested arrays: $.a[*][-1] selects within each match (jsonpath_ng parity)") {
+    import spark.implicits._
+    def got(tag: String, json: String, path: String): Vector[String] = {
+      val dir = tmpDir(s"rml-json-chain-$tag")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"), json)
+      RmlMapper.loadJson(spark, s"$dir/data.json", Some(path))
+        .as[String].collect().toVector.sorted
+    }
+    // expected vectors probed against real jsonpath_ng (python3)
+    val nested = """{"a": [[1, 2], [3, 4, 5]]}"""
+    assert(got("n1", nested, "$.a[*][-1]") == Vector("2", "5"))
+    assert(got("n2", nested, "$.a[0][1]") == Vector("2"))
+    assert(got("n3", nested, "$.a[*][*]") == Vector("1", "2", "3", "4", "5"))
+    assert(got("n4", nested, "$.a[0:2][0]") == Vector("1", "3"))
+    assert(got("n5", nested, "$.a[*][0:2]") == Vector("1", "2", "3", "4"))
+    assert(got("n6", nested, "$.a[0,1][-1]") == Vector("2", "5"))
+    val deep = """{"a": [[[1, 2]], [[3], [4, 5]]]}"""
+    assert(got("d1", deep, "$.a[*][*][*]") == Vector("1", "2", "3", "4", "5"))
+    // chained [*]/slice on a NON-array match singleton-wrap (quirk),
+    // matching the value itself; chained INDEX there is jsonpath_ng's
+    // crash surface (TypeError/KeyError) → loud reject
+    assert(got("s1", """{"a": [1, 2]}""", "$.a[*][*]") == Vector("1", "2"))
+    assert(got("s2", """{"a": [1, 2]}""", "$.a[*][0:1]") == Vector("1", "2"))
+    val dictEl = """{"a": [{"x": 1}, {"x": 2}]}"""
+    assert(RmlMapper.loadJson(spark,
+        { val d = tmpDir("rml-json-chain-de"); java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$d/data.json"), dictEl); s"$d/data.json" },
+        Some("$.a[*][*].x")).as[String].collect().toVector.sorted == Vector("1", "2"))
+    for ((tag, doc, bad) <- Seq(
+        ("b1", """{"a": [1, 2]}""", "$.a[*][-1]"),
+        ("b2", """{"a": [{"x": 1}]}""", "$.a[0][1]"),
+        ("b3", """{"a": [[1]]}""", "$[*][0]")))
+      assertThrows[RmlCompiler.RmlError](got(s"bad-$tag", doc, bad))
+    // descent after a chained group enters the match like any other
+    val mix = """{"a": [[{"name": 7}], [{"name": 8}, {"name": 9}]]}"""
+    assert(got("m1", mix, "$.a[0:2][-1]..name") == Vector("7", "9"))
+  }
+
   test("descent into scalar-collapsed array elements rejects loudly (lexeme ambiguity)") {
     val dir = tmpDir("rml-json-arrdescent-scalar")
     // all-scalar elements: jsonpath_ng returns [] — here the total
