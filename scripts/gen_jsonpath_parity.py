@@ -264,6 +264,18 @@ def gen_path(doc):
             break
     if isinstance(node, (dict, list)):
         return None
+    # strings CHAR-index in jsonpath_ng ($.s[0] on "hi" -> 'h'); emit one
+    # sometimes when the string is still schema-typed (no descent in the
+    # path — index-after-descent stays excluded, see main()). Cases where
+    # a sibling branch would make jsonpath_ng crash are dropped by the
+    # try/except in main(), so everything emitted is engine-safe.
+    if (isinstance(node, str) and node
+            and not any(".." in s for s in segs) and rng.random() < 0.3):
+        if rng.random() < 0.3:
+            i, j = (rng.randint(-len(node), len(node) - 1) for _ in range(2))
+            segs.append(f"[{i},{j}]")
+        else:
+            segs.append(f"[{rng.randint(-len(node), len(node) - 1)}]")
     return "$" + "".join(segs)
 
 

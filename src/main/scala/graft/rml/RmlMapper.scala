@@ -197,7 +197,7 @@ object RmlMapper {
     } catch { case _: Throwable => false }
   }
 
-  import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+  import org.apache.spark.sql.types.{ArrayType, DataType, NullType, StringType, StructType}
   import org.apache.spark.sql.Column
 
   /** Backtick-quote a field name for string-based column access when it
@@ -275,22 +275,35 @@ object RmlMapper {
           s"JSONPath '$it': no field '$name' in the document schema")
     }
 
-  /** Numeric index/index-union segments demand an ARRAY field of that
-    * name; absent or non-array → the same loud RmlError contract as
-    * field access (never a raw Spark AnalysisException). Base
-    * jsonpath_ng on a non-list here CHAR-indexes strings and crashes on
-    * anything else (TypeError/KeyError) — a loud reject is our
-    * documented boundary for that. */
-  private def requireArrayField(df: DataFrame, name: String, it: String): Unit =
-    df.schema.find(_.name == name).map(_.dataType) match {
-      case Some(_: ArrayType) =>
-      case Some(other) =>
+  /** Numeric index on a NON-array match value — probed base jsonpath_ng
+    * 1.8.0 semantics (2026-08-18): STRINGS char-index (`$.a[0]` on "hi"
+    * matches 'h') with Python negative indexes; out-of-range positive =
+    * no match, out-of-range negative IndexErrors in the reference
+    * (graceful no-match is our documented superset, same as the array
+    * path); DICTS and JSON nulls yield no value (index ≥ len(dict) is
+    * `[]`, below it a KeyError — no-match is the honest non-crashing
+    * behavior, mirroring that negative-index policy); NUMBERS/BOOLEANS
+    * are a pure TypeError crash surface → loud reject. `raw` is a
+    * single-column match frame; returns the raw `_row` frame. */
+  private def indexNonArray(raw: DataFrame, idx: Int, it: String,
+      disp: String): DataFrame = {
+    val c = raw.columns.head
+    raw.schema.head.dataType match {
+      case StringType =>
+        val s = col(q(c))
+        val at = if (idx >= 0) lit(idx) else length(s) + idx
+        raw.select(substring(s, at + 1, lit(1)).as("_row"),
+            at.as("_at"), length(s).as("_n"))
+          .filter(col("_at") >= 0 && col("_at") < col("_n"))
+          .select("_row")
+      case (_: StructType) | NullType =>
+        raw.select(col(q(c)).as("_row")).where(lit(false))
+      case other =>
         throw RmlCompiler.RmlError(
-          s"JSONPath '$it': field '$name' is ${other.simpleString}, not an array")
-      case None =>
-        throw RmlCompiler.RmlError(
-          s"JSONPath '$it': no field '$name' in the document schema")
+          s"JSONPath '$it': index [$idx] on $disp of type ${other.simpleString} " +
+            "(base jsonpath_ng crashes here)")
     }
+  }
 
   /** `$.a[i]` with Python negative-index semantics; out-of-range = NO
     * match (zero rows), not a phantom all-NULL record. The no-match
@@ -330,9 +343,9 @@ object RmlMapper {
     * On an array match, index/slice/[*] select within it (jsonpath_ng
     * navigates each match's list); on a non-array match, [*] and slices
     * singleton-wrap (the value itself matches, window permitting) while
-    * a numeric index rejects loudly — base jsonpath_ng CRASHES there
-    * (TypeError on scalars, KeyError on dicts), so no silent answer is
-    * faithful. Probed against jsonpath_ng 1.x on 2026-08-18. */
+    * a numeric index routes to [[indexNonArray]] (strings char-index,
+    * dicts/nulls no-match, other scalars loud-reject — probed against
+    * jsonpath_ng 1.8.0 on 2026-08-18). */
   private def applyChained(df: DataFrame, op: Seg, it: String,
       next: Next): DataFrame = {
     val isArr = df.schema.head.dataType.isInstanceOf[ArrayType]
@@ -354,16 +367,13 @@ object RmlMapper {
             "a chained slice match", next)
         }
       case IndexSeg(_, idx) =>
-        if (!isArr)
-          throw RmlCompiler.RmlError(
-            s"JSONPath '$it': chained index [$idx] on a non-array match (base jsonpath_ng crashes here)")
-        finishMatch(indexSelect(df, "_row", idx), it, "a chained index match", next)
+        val sel = if (isArr) indexSelect(df, "_row", idx)
+        else indexNonArray(df, idx, it, "a chained match")
+        finishMatch(sel, it, "a chained index match", next)
       case IndexUnionSeg(_, idxs) =>
-        if (!isArr)
-          throw RmlCompiler.RmlError(
-            s"JSONPath '$it': chained index union on a non-array match (base jsonpath_ng crashes here)")
-        finishMatch(idxs.map(indexSelect(df, "_row", _)).reduce(_ unionAll _),
-          it, "a chained index match", next)
+        val sel = if (isArr) idxs.map(indexSelect(df, "_row", _))
+        else idxs.map(indexNonArray(df, _, it, "a chained match"))
+        finishMatch(sel.reduce(_ unionAll _), it, "a chained index match", next)
       case other =>
         throw new IllegalStateException(s"not a chainable segment: $other") // unreachable
     }
@@ -499,17 +509,26 @@ object RmlMapper {
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (index on top-level array): $it")
-      requireArrayField(df, name, it)
-      finishMatch(indexSelect(df, name, idx), it, s"'$name[$idx]'", next)
+      if (isArrayField(df, name, it))
+        finishMatch(indexSelect(df, name, idx), it, s"'$name[$idx]'", next)
+      else
+        finishMatch(
+          indexNonArray(df.select(col(q(name)).as("_row")), idx, it, s"'$name'"),
+          it, s"'$name[$idx]'", next)
     case IndexUnionSeg(name, idxs) =>
       if (name.isEmpty)
         throw RmlCompiler.RmlError(
           s"unsupported JSONPath (index union on top-level array): $it")
-      requireArrayField(df, name, it)
       // one frame per index, unioned — preserves jsonpath_ng's multiset
       // semantics ($.s[0,0] matches the element twice)
-      finishMatch(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it,
-        s"an element of '$name'", next)
+      if (isArrayField(df, name, it))
+        finishMatch(idxs.map(indexSelect(df, name, _)).reduce(_ unionAll _), it,
+          s"an element of '$name'", next)
+      else {
+        val raw = df.select(col(q(name)).as("_row"))
+        finishMatch(idxs.map(indexNonArray(raw, _, it, s"'$name'"))
+          .reduce(_ unionAll _), it, s"an element of '$name'", next)
+      }
     case SliceSeg(name, startO, endO, _) if name.nonEmpty && !isArrayField(df, name, it) =>
       // singleton-wrap quirk for slices too: jsonpath_ng slices [value],
       // so the value matches iff the normalized window includes index 0
@@ -594,8 +613,13 @@ object RmlMapper {
   private def applyAll(df: DataFrame, segs: List[Seg], it: String): DataFrame = segs match {
     case Nil => df
     case _ :: _ if isScalarFrame(df) =>
-      // jsonpath_ng never matches inside a scalar value; loud here, and
-      // dropped per-branch under descent/union branch navigation
+      // Scalar-widened frames cast every JSON type to one string column,
+      // so a genuine "hi" and a number 5 are indistinguishable here —
+      // jsonpath_ng CHAR-indexes the former but TypeErrors on the
+      // latter, and field access matches nothing in either. Char-index
+      // parity lives where the schema still carries the type
+      // ([[indexNonArray]]); after widening, loud is the only honest
+      // answer. Dropped per-branch under descent/union navigation.
       throw RmlCompiler.RmlError(
         s"JSONPath '$it': trailing segments apply to a scalar match — no jsonpath_ng match is possible")
     case DescendSeg(target) :: rest =>
@@ -656,9 +680,8 @@ object RmlMapper {
             val frame = dt match {
               case _: ArrayType if descendNext =>
                 // list member before `..`: flatten into its elements
-                widen(flattenArrays(
-                  df.filter(col(p).isNotNull).select(col(p).as("_row"))),
-                  it, s"member '$disp'")
+                finishMatch(df.filter(col(p).isNotNull).select(col(p).as("_row")),
+                  it, s"member '$disp'", Next.Descend)
               case _ => memberFrame(df, p, dt)
             }
             applyAll(frame, rest, it)
@@ -737,8 +760,10 @@ object RmlMapper {
     * delegates the full grammar to base jsonpath_ng (backend.py:7,
     * 408-447). Forms base jsonpath_ng itself rejects — filters `[?...]`
     * — are rejected here too; negative slice steps (order reversal,
-    * meaningless over an unordered row set), top-level array indexing,
-    * and chained array access `a[*][0]` are rejected as out of scope. */
+    * meaningless over an unordered row set) and top-level array indexing
+    * are rejected as out of scope; chained bracket groups (`a[*][0]`,
+    * `a[0][1][2]`) parse to [[ChainSeg]]s applied to the previous
+    * group's raw match. */
   private def parseJsonPath(p: String): Seq[Seg] = {
     import RmlCompiler.RmlError
     if (p.contains("[?"))

@@ -602,8 +602,7 @@ class RmlCompilerSpec extends SparkSpec {
     val deep = """{"a": [[[1, 2]], [[3], [4, 5]]]}"""
     assert(got("d1", deep, "$.a[*][*][*]") == Vector("1", "2", "3", "4", "5"))
     // chained [*]/slice on a NON-array match singleton-wrap (quirk),
-    // matching the value itself; chained INDEX there is jsonpath_ng's
-    // crash surface (TypeError/KeyError) → loud reject
+    // matching the value itself
     assert(got("s1", """{"a": [1, 2]}""", "$.a[*][*]") == Vector("1", "2"))
     assert(got("s2", """{"a": [1, 2]}""", "$.a[*][0:1]") == Vector("1", "2"))
     val dictEl = """{"a": [{"x": 1}, {"x": 2}]}"""
@@ -611,10 +610,37 @@ class RmlCompilerSpec extends SparkSpec {
         { val d = tmpDir("rml-json-chain-de"); java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$d/data.json"), dictEl); s"$d/data.json" },
         Some("$.a[*][*].x")).as[String].collect().toVector.sorted == Vector("1", "2"))
+    // index on a NON-array match, probed against jsonpath_ng 1.8.0:
+    // strings CHAR-index with Python negative indexes...
+    assert(got("c1", """{"a": "hi"}""", "$.a[0]") == Vector("h"))
+    assert(got("c2", """{"a": "hi"}""", "$.a[-1]") == Vector("i"))
+    assert(got("c3", """{"a": "hi"}""", "$.a[0,1]") == Vector("h", "i"))
+    assert(got("c4", """{"a": ["hi"]}""", "$.a[0][0]") == Vector("h"))
+    assert(got("c5", """{"a": [["hi", "yo"]]}""", "$.a[0][1][0]") == Vector("y"))
+    // ...out-of-range positive = no match ([] probed); out-of-range
+    // NEGATIVE IndexErrors in the reference — graceful no-match is the
+    // documented superset, same as the array policy...
+    assert(got("c6", """{"a": "hi"}""", "$.a[5]").isEmpty)
+    assert(got("c7", """{"a": "hi"}""", "$.a[-5]").isEmpty)
+    // ...dicts: index >= len(dict) is [] (probed — NOT a crash); below
+    // it the reference KeyErrors, and no-match is the honest
+    // non-crashing answer; JSON null matches nothing
+    def rows(tag: String, json: String, path: String): Long = {
+      val dir = tmpDir(s"rml-json-chain-$tag")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"), json)
+      RmlMapper.loadJson(spark, s"$dir/data.json", Some(path)).count()
+    }
+    assert(rows("c8", """{"a": [{"x": 1}]}""", "$.a[0][1]") == 0)
+    assert(rows("c9", """{"a": [{"x": 1}]}""", "$.a[0][0]") == 0)
+    assert(rows("c10", """{"a": {"x": 1}, "b": 2}""", "$.a[1]") == 0)
+    assert(got("c11", """{"a": null, "b": 2}""", "$.a[0]").isEmpty)
+    // numbers/booleans stay jsonpath_ng's pure TypeError crash surface
+    // → loud reject (b1/b4/b5); top-level array indexing out of scope
     for ((tag, doc, bad) <- Seq(
         ("b1", """{"a": [1, 2]}""", "$.a[*][-1]"),
-        ("b2", """{"a": [{"x": 1}]}""", "$.a[0][1]"),
-        ("b3", """{"a": [[1]]}""", "$[*][0]")))
+        ("b3", """{"a": [[1]]}""", "$[*][0]"),
+        ("b4", """{"a": 5}""", "$.a[0]"),
+        ("b5", """{"a": true}""", "$.a[0,1]")))
       assertThrows[RmlCompiler.RmlError](got(s"bad-$tag", doc, bad))
     // descent after a chained group enters the match like any other
     val mix = """{"a": [[{"name": 7}], [{"name": 8}, {"name": 9}]]}"""
@@ -740,9 +766,13 @@ class RmlCompilerSpec extends SparkSpec {
     assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[-3:5:2]"))
       .select("value").as[String].collect().toSeq == Seq("hi"))
     assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[1:]")).count() == 0)
-    // numeric index on a non-array stays a loud reject (base jsonpath_ng
-    // CHAR-indexes strings and crashes with TypeError/KeyError otherwise)
-    for (bad <- Seq("$.s[0]", "$.n[0]", "$.o[0]", "$.n[0,1]"))
+    // numeric index on a non-array: strings CHAR-index ($.s[0] on "hi"
+    // is ['h'], probed), dicts match nothing, and numbers/booleans stay
+    // a loud reject (base jsonpath_ng's TypeError crash surface)
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.s[0]"))
+      .select("value").as[String].collect().toSeq == Seq("h"))
+    assert(RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.o[0]")).count() == 0)
+    for (bad <- Seq("$.n[0]", "$.n[0,1]"))
       assertThrows[RmlCompiler.RmlError](
         RmlMapper.loadJson(spark, s"$dir/data.json", Some(bad)))
   }
