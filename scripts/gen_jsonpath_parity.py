@@ -269,7 +269,12 @@ def gen_path(doc):
     # path — index-after-descent stays excluded, see main()). Cases where
     # a sibling branch would make jsonpath_ng crash are dropped by the
     # try/except in main(), so everything emitted is engine-safe.
+    # ...but never on lexemes the engine treats as type-ambiguous (it
+    # raises at runtime where a non-string reading would crash the
+    # reference): leading -0-9{[ or exactly true/false/null
     if (isinstance(node, str) and node
+            and not re.match(r"[-0-9{\[]", node)
+            and node not in ("true", "false", "null")
             and not any(".." in s for s in segs) and rng.random() < 0.3):
         if rng.random() < 0.3:
             i, j = (rng.randint(-len(node), len(node) - 1) for _ in range(2))

@@ -134,8 +134,11 @@ object RmlMapper {
     * expressions `[?...]` are a loud reject HERE AND in the reference
     * (base jsonpath_ng lexes them as errors — only the unused
     * `jsonpath_ng.ext` grammar has filters); numeric indexing a
-    * non-array is a loud reject too (base jsonpath_ng CHAR-indexes
-    * strings and raises TypeError/KeyError otherwise). */
+    * non-array follows the probed library behavior (see
+    * [[indexNonArray]]): strings char-index, dicts/nulls match
+    * nothing, numbers/booleans loud-reject, and lexemes a non-string
+    * reading would crash on raise at runtime rather than answer
+    * silently. */
   def loadJson(spark: SparkSession, path: String, iterator: Option[String]): DataFrame = {
     // multiLine handles a whole JSON document (object or array) per file
     val root = spark.read.option("multiLine", "true").json(path)
@@ -284,18 +287,39 @@ object RmlMapper {
     * `[]`, below it a KeyError — no-match is the honest non-crashing
     * behavior, mirroring that negative-index policy); NUMBERS/BOOLEANS
     * are a pure TypeError crash surface → loud reject. `raw` is a
-    * single-column match frame; returns the raw `_row` frame. */
+    * single-column match frame; returns the raw `_row` frame.
+    *
+    * A StringType column is only PROBABLY a genuine JSON string: Spark's
+    * schema unification stringifies numbers/booleans in mixed-type
+    * fields, and array-vs-object conflicts degrade a field to its raw
+    * JSON text — lexemes byte-identical to genuine strings that crash
+    * the reference when read as their non-string type. So in-range
+    * char-indexing RAISES at runtime on any lexeme that also parses as
+    * a non-string JSON value (first char `-0-9{[`, or exactly
+    * true/false/null) — never a silent answer either reading would
+    * dispute. Out-of-range stays quiet no-match: the string reading
+    * matches nothing there, making it the usual documented superset of
+    * the non-string reading's crash. */
   private def indexNonArray(raw: DataFrame, idx: Int, it: String,
       disp: String): DataFrame = {
     val c = raw.columns.head
     raw.schema.head.dataType match {
       case StringType =>
-        val s = col(q(c))
-        val at = if (idx >= 0) lit(idx) else length(s) + idx
-        raw.select(substring(s, at + 1, lit(1)).as("_row"),
-            at.as("_at"), length(s).as("_n"))
+        val s0 = col(q(c))
+        raw.select(s0.as("_s"),
+            (if (idx >= 0) lit(idx) else length(s0) + idx).as("_at"),
+            length(s0).as("_n"))
           .filter(col("_at") >= 0 && col("_at") < col("_n"))
-          .select("_row")
+          .select(when(
+              col("_s").rlike("^[-0-9{\\[]") ||
+                col("_s").isin("true", "false", "null"),
+              raise_error(concat(
+                lit(s"JSONPath '$it': char-index [$idx] on a lexeme " +
+                  "indistinguishable from a non-string JSON value " +
+                  "(base jsonpath_ng crashes on the non-string reading): "),
+                col("_s"))))
+            .otherwise(substring(col("_s"), col("_at") + 1, lit(1)))
+            .as("_row"))
       case (_: StructType) | NullType =>
         raw.select(col(q(c)).as("_row")).where(lit(false))
       case other =>
@@ -304,6 +328,19 @@ object RmlMapper {
             "(base jsonpath_ng crashes here)")
     }
   }
+
+  /** True when the optimizer proves `df` matches nothing (our dict/null
+    * no-match frames fold to an empty LocalRelation through any stack of
+    * selects/filters). Branch navigation drops such finals before the
+    * scalar-vs-object shape check: a branch that CANNOT match must not
+    * veto the shape of branches that do — jsonpath_ng simply yields the
+    * live branches' matches. */
+  private def staticallyNoMatch(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
 
   /** `$.a[i]` with Python negative-index semantics; out-of-range = NO
     * match (zero rows), not a phantom all-NULL record. The no-match
@@ -642,13 +679,17 @@ object RmlMapper {
             catch { case e: RmlCompiler.RmlError => Left(e) })
           val finals = attempts.collect { case Right(f) => f }
           if (finals.isEmpty) throw attempts.collectFirst { case Left(e) => e }.get
+          // provably-empty finals (dict/null index no-matches) must not
+          // veto the live branches' shape — see [[staticallyNoMatch]]
+          val live = finals.filterNot(staticallyNoMatch)
+          val keep = if (live.nonEmpty) live else finals.take(1)
           // the metadata marker, not the column NAME: an object final
           // whose record shape is exactly {value: ...} is still an object
-          if (finals.map(isScalarFrame).distinct.size > 1)
+          if (keep.map(isScalarFrame).distinct.size > 1)
             throw RmlCompiler.RmlError(
               s"JSONPath '$it' ('..$target'): descent branches mix scalar and object matches (" +
                 many.map(p => ("$" +: p).mkString(".")).mkString(", ") + ")")
-          unionFrames(finals, it, s"'..$target' branch")
+          unionFrames(keep, it, s"'..$target' branch")
       }
     case (seg @ (WildcardSeg | FieldUnionSeg(_, _))) :: rest =>
       val members = unionMembers(df, seg, it)
@@ -690,11 +731,15 @@ object RmlMapper {
         }
         val finals = attempts.collect { case Right(f) => f }
         if (finals.isEmpty) throw attempts.collectFirst { case Left(e) => e }.get
+        // provably-empty finals must not veto live-branch shape — see
+        // [[staticallyNoMatch]]
+        val live = finals.filterNot(staticallyNoMatch)
+        val keep = if (live.nonEmpty) live else finals.take(1)
         // metadata marker, not column name — see the descent check above
-        if (finals.map(isScalarFrame).distinct.size > 1)
+        if (keep.map(isScalarFrame).distinct.size > 1)
           throw RmlCompiler.RmlError(
             s"JSONPath '$it': union branches mix scalar and object matches")
-        unionFrames(finals, it, "union branch")
+        unionFrames(keep, it, "union branch")
       }
     case seg :: rest =>
       // tell the segment what follows: a `..` flattens array-valued

@@ -642,6 +642,31 @@ class RmlCompilerSpec extends SparkSpec {
         ("b4", """{"a": 5}""", "$.a[0]"),
         ("b5", """{"a": true}""", "$.a[0,1]")))
       assertThrows[RmlCompiler.RmlError](got(s"bad-$tag", doc, bad))
+    // PROVEN-AMBIGUITY runtime guard: schema unification stringifies a
+    // mixed-type field, so the "5" in ["hi", 5] is byte-identical to a
+    // genuine string "5" — jsonpath_ng char-indexes the latter but
+    // TypeErrors on the former. In-range char-index on any such lexeme
+    // raises at RUNTIME for both documents instead of answering either
+    // silently (same policy as the heterogeneous-array boundary).
+    for ((tag, doc) <- Seq(
+        ("amb1", """{"a": ["hi", 5]}"""),       // stringified number
+        ("amb2", """{"a": ["hi", "5"]}""")))    // genuine string "5"
+      assertThrows[Exception] {
+        val dir = tmpDir(s"rml-json-chain-$tag")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/data.json"), doc)
+        RmlMapper.loadJson(spark, s"$dir/data.json", Some("$.a[1][0]")).collect()
+      }
+    // ...while an index touching only the genuine-string element still
+    // answers, and out-of-range on an ambiguous lexeme is a quiet
+    // no-match (the string reading's answer — documented superset)
+    assert(got("amb3", """{"a": ["hi", 5]}""", "$.a[0][0]") == Vector("h"))
+    assert(got("amb4", """{"a": ["hi", "5"]}""", "$.a[1][3]").isEmpty)
+    // a statically-no-match branch (dict index) must not veto the live
+    // scalar branch's shape: jsonpath_ng yields 'b' here ('ab'[1]; the
+    // dict's index 1 >= len 1 matches nothing)
+    assert(got("bm1", """{"a": {"name": "ab"}, "b": {"name": {"cc": 1}}}""",
+      "$.*.name[1]") == Vector("b"))
     // descent after a chained group enters the match like any other
     val mix = """{"a": [[{"name": 7}], [{"name": 8}, {"name": 9}]]}"""
     assert(got("m1", mix, "$.a[0:2][-1]..name") == Vector("7", "9"))
