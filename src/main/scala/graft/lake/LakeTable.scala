@@ -124,7 +124,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     Files.createDirectories(rootPath.resolve("data"))
     Files.createDirectories(rootPath.resolve("lineage"))
     commit(Snapshot(0L, withMeta(schema), Map.empty, -1L, Set.empty,
-      numBuckets = numBuckets))
+      numBuckets = numBuckets, op = "init"))
   }
 
   // parsed-snapshot cache keyed by the pointer's current target, so the
@@ -218,18 +218,20 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
           readFileMap(node, "files"), -1L, Set.empty, readFileMap(node, "deltas"),
           nb, weights, readRangeMap(node, "fileRanges"))
     }
+    // commit kind ("" on legacy snapshots — readChangesSince rejects those)
+    val withOp = base.copy(op = Option(node.get("op")).map(_.asText).getOrElse(""))
     // current format: watermark + exceptions; legacy format: full id array
     Option(node.get("appliedWatermark")) match {
       case Some(wm) =>
         val exc = Option(node.get("appliedExceptions"))
           .map(_.asInstanceOf[ArrayNode].asScala.map(_.asLong).toSet)
           .getOrElse(Set.empty[Long])
-        base.copy(appliedWatermark = wm.asLong, appliedExceptions = exc)
+        withOp.copy(appliedWatermark = wm.asLong, appliedExceptions = exc)
       case None =>
         val legacy = Option(node.get("appliedBatchIds"))
           .map(_.asInstanceOf[ArrayNode].asScala.map(_.asLong).toSet)
           .getOrElse(Set.empty[Long])
-        legacy.toSeq.sorted.foldLeft(base)((s, id) => s.withApplied(id))
+        legacy.toSeq.sorted.foldLeft(withOp)((s, id) => s.withApplied(id))
     }
   }
 
@@ -265,6 +267,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     node.put("numBuckets", s.numBuckets)
     val mn = node.putObject("manifests")
     manifestNames2.toSeq.sortBy(_._1).foreach { case (b, n) => mn.put(b.toString, n) }
+    node.put("op", s.op)
     node.put("appliedWatermark", s.appliedWatermark)
     val exc = node.putArray("appliedExceptions")
     s.appliedExceptions.toSeq.sorted.foreach(exc.add)
@@ -347,6 +350,66 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       .find(_.getFileName.toString.startsWith(prefix))
       .getOrElse(sys.error(s"no snapshot for version $version (expired or never committed)"))
     readSnapshot(p)
+  }
+
+  /** Incremental change feed (Iceberg incremental-scan / changelog
+    * analog): every change EVENT — upserts AND delete tombstones, public
+    * columns plus `_lsn`/`_op` — ingested by commits AFTER snapshot
+    * `fromVersion`, up to the current snapshot. A downstream incremental
+    * consumer (feature refresh, index build, replication) reads ONLY the
+    * window's data this way instead of re-scanning the table.
+    *
+    * Mechanics: walks the immutable snapshot history driver-side
+    * (O(window) metadata reads, no Spark job) and set-diffs each
+    * `ingest-delta` commit's per-bucket delta lists against its parent —
+    * ingest is the only commit kind that ADDS delta files (compaction
+    * folds them into base, rescale rebuilds base), so the union of added
+    * files is exactly the window's change set no matter when compactions
+    * ran between. The scan then reads just those parquet files: no
+    * shuffle, no full-table IO, and the current schema reads older files
+    * with evolved columns as null. Events are NOT LWW-deduped — a key
+    * updated twice in the window appears twice, ordered by `_lsn`, which
+    * is what a change CONSUMER needs (fold with max-_lsn per key for
+    * final state).
+    *
+    * Bounds and rejects, all loud: the window must still be within
+    * snapshot retention (expired `fromVersion` errors, same as
+    * [[readAt]]); `ingest-cow` commits rewrite base files wholesale, so
+    * their events are not recoverable from file metadata — a CoW commit
+    * in the window errors rather than silently returning nothing; legacy
+    * snapshots without a commit-kind record error likewise. */
+  def readChangesSince(fromVersion: Long): DataFrame = {
+    val cur = currentSnapshot
+    require(fromVersion <= cur.version,
+      s"fromVersion $fromVersion is beyond current version ${cur.version}")
+    var prev = snapshotAt(fromVersion)
+    val added = Seq.newBuilder[String]
+    for (v <- fromVersion + 1 to cur.version) {
+      val s = snapshotAt(v)
+      s.op match {
+        case "ingest-delta" =>
+          s.deltas.foreach { case (b, fs) =>
+            added ++= fs.diff(prev.deltas.getOrElse(b, Nil)) }
+        case "ingest-cow" =>
+          sys.error(s"readChangesSince: snapshot v$v is a copy-on-write " +
+            "ingest commit — change events are folded into rewritten base " +
+            "files and cannot be recovered from metadata; use merge-on-read " +
+            "apply for tables that feed incremental consumers")
+        case "compact" | "rescale" | "schema" | "init" => // no change events
+        case other =>
+          sys.error(s"readChangesSince: snapshot v$v carries no commit-kind " +
+            s"record ('$other') — history predates change-feed support")
+      }
+      prev = s
+    }
+    val cols = cur.schema.fields.map(_.name)
+      .filter(n => !metaColNames.contains(n) || n == "_lsn" || n == "_op")
+    val paths = added.result().map(f => rootPath.resolve(f).toString)
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema)
+      else spark.read.schema(cur.schema).parquet(paths: _*)
+    df.select(cols.map(col).toSeq: _*)
   }
 
   /** Data skipping: files of `convId`'s bucket whose recorded key range
@@ -467,7 +530,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val add = addedFields(s.schema, newFields)
     if (add.nonEmpty)
       commit(s.copy(version = s.version + 1,
-        schema = StructType(s.schema.fields ++ add)))
+        schema = StructType(s.schema.fields ++ add), op = "schema"))
   }
 
   private def addedFields(schema: StructType, fields: Seq[StructField]): Seq[StructField] = {
@@ -548,7 +611,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       commit(s.copy(version = s.version + 1, schema = schema2, files = files2,
         deltas = foldedDeltas,
         bucketWeights = stats.map(x => x._1 -> x._2).toMap,
-        fileRanges = s.fileRanges ++ ranges).withApplied(batchId))
+        fileRanges = s.fileRanges ++ ranges, op = "ingest-cow").withApplied(batchId))
     } finally releasePending(newFiles) // referenced (or orphaned) either way
     Some(stats)
   }
@@ -619,7 +682,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         else w.stats.map(x => x._1 -> x._2).toMap
       commit(s.copy(version = s.version + 1, schema = schema2, deltas = deltas2,
         bucketWeights = weights2,
-        fileRanges = s.fileRanges ++ w.ranges).withApplied(batchId))
+        fileRanges = s.fileRanges ++ w.ranges, op = "ingest-delta").withApplied(batchId))
       true
     } finally releasePending(w.files) // referenced (or orphaned) either way
   }
@@ -695,7 +758,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       }.filter(_._2.nonEmpty)
       val files2 = (s2.files -- affected) ++ newFiles.filter(_._2.nonEmpty)
       commit(s2.copy(version = s2.version + 1, files = files2,
-        deltas = foldedDeltas, fileRanges = s2.fileRanges ++ ranges))
+        deltas = foldedDeltas, fileRanges = s2.fileRanges ++ ranges,
+        op = "compact"))
     } finally releasePending(newFiles)
   }
 
@@ -782,7 +846,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
         "concurrent commit during rescale — run rescale quiesced")
       commit(s2.copy(version = s2.version + 1, numBuckets = newNumBuckets,
         files = newFiles.filter(_._2.nonEmpty), deltas = Map.empty,
-        bucketWeights = Map.empty, fileRanges = ranges))
+        bucketWeights = Map.empty, fileRanges = ranges, op = "rescale"))
     } finally releasePending(newFiles)
   }
 
@@ -1093,7 +1157,12 @@ object LakeTable {
       // (bookkeeping for manifest reuse across commits; not itself
       // serialized — the snapshot JSON's "manifests" object is built from
       // the post-commit value)
-      manifestNames: Map[Int, String] = Map.empty) {
+      manifestNames: Map[Int, String] = Map.empty,
+      // what KIND of commit produced this snapshot ("ingest-delta",
+      // "ingest-cow", "compact", "rescale", "schema", "init"; "" on
+      // legacy snapshots) — the signal [[LakeTable.readChangesSince]]
+      // uses to tell ingest from maintenance when walking history
+      op: String = "") {
 
     def applied(batchId: Long): Boolean =
       batchId <= appliedWatermark || appliedExceptions.contains(batchId)

@@ -603,4 +603,53 @@ class LakeSpec extends SparkSpec {
       "empty commit must preserve bucket weights")
     assert(reopened.currentSnapshot.applied(1L))
   }
+
+  private def cfBatch(rows: Seq[(Long, String, String, Int, String, String)]) =
+    rows.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+
+  test("readChangesSince: exactly the window's ingested events, across compaction") {
+    val table = new LakeTable(spark, tmpDir("cf-table"), numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    val mor = CdcApply.Options(mergeOnRead = true, compactEvery = 100)
+    CdcApply.applyBatch(table, cfBatch(Seq((1L, "I", "c1", 0, "user", "a1"))), 0L, mor)
+    CdcApply.applyBatch(table, cfBatch(Seq((2L, "I", "c2", 0, "user", "b1"))), 1L, mor)
+    val vMid = table.currentSnapshot.version
+    // window: batch 3 (whose delta files a compaction then folds OUT of the
+    // live snapshot — only the history walk can still see them), a
+    // maintenance compaction, a schema-evolution commit, batches 4 and 5
+    // (an update, an insert, and a delete tombstone)
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (3L, "U", "c1", 0, "user", "a2"), (4L, "I", "c3", 0, "user", "d1"))), 2L, mor)
+    table.compact()
+    table.evolveSchema(Seq(org.apache.spark.sql.types.StructField("note",
+      org.apache.spark.sql.types.StringType)))
+    CdcApply.applyBatch(table, cfBatch(Seq((5L, "I", "c1", 1, "tool", "a3"))), 3L, mor)
+    CdcApply.applyBatch(table, cfBatch(Seq((6L, "D", "c2", 0, "user", ""))), 4L, mor)
+    val got = table.readChangesSince(vMid)
+      .select("_lsn", "_op", "conv_id", "turn_idx", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))
+      .toSet
+    assert(got == Set(
+      (3L, "U", "c1", 0, "a2"), (4L, "I", "c3", 0, "d1"),
+      (5L, "I", "c1", 1, "a3"), (6L, "D", "c2", 0, "")),
+      s"change feed must be the window's raw events (incl. the compacted-away " +
+        s"batch and the delete tombstone), got $got")
+    // evolved column reads as null on pre-evolution files, present in schema
+    assert(table.readChangesSince(vMid).columns.contains("note"))
+    // boundary windows
+    assert(table.readChangesSince(table.currentSnapshot.version).count() == 0,
+      "empty window must yield no events")
+    assert(table.readChangesSince(0L).count() == 6, "full window = all events")
+  }
+
+  test("readChangesSince rejects copy-on-write ingest in the window loudly") {
+    val table = new LakeTable(spark, tmpDir("cf-cow"), numBuckets = 2)
+    table.create(Model.transcriptSchema)
+    CdcApply.applyBatch(table, cfBatch(Seq((1L, "I", "c1", 0, "user", "x"))), 0L) // CoW
+    val e = intercept[RuntimeException](table.readChangesSince(0L))
+    assert(e.getMessage.contains("copy-on-write"),
+      s"CoW window must reject with a diagnosis, got: ${e.getMessage}")
+  }
 }
