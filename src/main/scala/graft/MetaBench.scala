@@ -91,10 +91,28 @@ object MetaBench {
     }
     val s = table.currentSnapshot
     val totalFiles = s.files.values.map(_.size).sum + s.deltas.values.map(_.size).sum
+    // change-feed walk cost at three window sizes over the same 10k-commit
+    // history: the walk is O(window) snapshot+manifest metadata (plus the
+    // window's file-path listing), NOT O(history). Fabricated data files
+    // are materialized empty so the scan's path resolution is real.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "data"))
+    (0L until numCommits.toLong).foreach { i =>
+      dw(i).files.values.flatten.foreach { f =>
+        val p = java.nio.file.Paths.get(dir, f)
+        if (!java.nio.file.Files.exists(p)) java.nio.file.Files.createFile(p)
+      }
+    }
+    val walks = Seq(100L, 1000L, numCommits.toLong).map { w =>
+      val from = math.max(0L, s.version - w)
+      val t0 = System.nanoTime()
+      table.readChangesSince(from) // lazy scan; the walk itself is eager
+      val ms = (System.nanoTime() - t0) / 1e6
+      f""""w$w":$ms%.0f"""
+    }
     // growth ratio of the per-commit write volume across a 10x table-size
     // increase; inline grows ~linearly (ratio ≈ 10), manifests stay O(touched)
     val line =
-      f"""{"bench":"meta","commits":$numCommits,"buckets":$numBuckets,"touched_per_commit":$touched,"total_files":$totalFiles,"windows":[${rows.mkString(",")}],"manifest_growth_ratio":${lastPerCommit / math.max(1.0, firstPerCommit)}%.2f,"inline_growth_ratio":${lastInline / math.max(1.0, firstInline)}%.2f,"final_meta_bytes_per_commit":$lastPerCommit%.0f,"final_inline_equiv_bytes_per_commit":$lastInline%.0f}"""
+      f"""{"bench":"meta","commits":$numCommits,"buckets":$numBuckets,"touched_per_commit":$touched,"total_files":$totalFiles,"windows":[${rows.mkString(",")}],"manifest_growth_ratio":${lastPerCommit / math.max(1.0, firstPerCommit)}%.2f,"inline_growth_ratio":${lastInline / math.max(1.0, firstInline)}%.2f,"final_meta_bytes_per_commit":$lastPerCommit%.0f,"final_inline_equiv_bytes_per_commit":$lastInline%.0f,"changefeed_walk_ms":{${walks.mkString(",")}}}"""
     println(line)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

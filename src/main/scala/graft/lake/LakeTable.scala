@@ -180,6 +180,27 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       BucketManifest(arr("files"), arr("deltas"), readRangeMap(node, "ranges"))
     })
 
+  /** Bound the parsed-manifest cache: keep `keep` (the live name set),
+    * drop the rest — evicted history re-reads its manifest file on demand,
+    * so time travel and change-feed walks still work. Called after every
+    * commit AND after reader-only history walks (which would otherwise
+    * grow the cache without bound in a polling consumer process). */
+  private def pruneManifestCache(keep: Set[String], nb: Int): Unit =
+    if (manifestCache.size > 4 * nb + 64)
+      manifestCache.keySet.asScala.filterNot(keep.contains)
+        .foreach(manifestCache.remove)
+
+  /** Version encoded in a snapshot file name — `v%08d` zero-padded but
+    * parsed as the FULL leading digit run, so versions past 10^8 (a
+    * months-long commit history) widen the name instead of truncating;
+    * the digits end at '.' (current form) or '-' (legacy dashed form). */
+  private def versionOfName(n: String): Option[Long] = {
+    if (!n.startsWith("v")) return None
+    val digits = n.drop(1).takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 18) None
+    else scala.util.Try(digits.toLong).toOption
+  }
+
   private def writeManifest(name: String, m: BucketManifest): Unit = {
     Files.createDirectories(manifestsDir) // legacy tables predate the dir
     val node = mapper.createObjectNode()
@@ -298,13 +319,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     Files.writeString(tmp, name)
     Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     cachedSnap = (name, s.copy(manifestNames = manifestNames2))
-    // bound the parsed-manifest cache: keep the live name set (evicted
-    // history re-reads its manifest file on demand — time travel still works)
-    if (manifestCache.size > 4 * s.numBuckets + 64) {
-      val keep = manifestNames2.values.toSet
-      manifestCache.keySet.asScala.filterNot(keep.contains)
-        .foreach(manifestCache.remove)
-    }
+    pruneManifestCache(manifestNames2.values.toSet, s.numBuckets)
     // auto-maintenance: amortized snapshot/orphan GC (commitLock is
     // reentrant, so calling expireSnapshots from inside commit is safe)
     if (autoExpireEvery > 0 && s.version > 0) {
@@ -345,9 +360,8 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   }
 
   private def snapshotAt(version: Long): Snapshot = {
-    val prefix = f"v$version%08d" // current exact form + legacy dashed form
     val p = listed(snapsDir)
-      .find(_.getFileName.toString.startsWith(prefix))
+      .find(p => versionOfName(p.getFileName.toString).contains(version))
       .getOrElse(sys.error(s"no snapshot for version $version (expired or never committed)"))
     readSnapshot(p)
   }
@@ -367,10 +381,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * files is exactly the window's change set no matter when compactions
     * ran between. The scan then reads just those parquet files: no
     * shuffle, no full-table IO, and the current schema reads older files
-    * with evolved columns as null. Events are NOT LWW-deduped — a key
-    * updated twice in the window appears twice, ordered by `_lsn`, which
-    * is what a change CONSUMER needs (fold with max-_lsn per key for
-    * final state).
+    * with evolved columns as null. Events are NOT LWW-deduped and the
+    * scan is UNORDERED (a global sort would defeat the no-shuffle read):
+    * a key updated twice in the window appears twice, and the `_lsn`
+    * column carries the order — consumers fold with max-_lsn per key
+    * (graft.cdc.CdcApply.lwwDedup), never apply in encounter order.
     *
     * Bounds and rejects, all loud: the window must still be within
     * snapshot retention (expired `fromVersion` errors, same as
@@ -380,12 +395,20 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * snapshots without a commit-kind record error likewise. */
   def readChangesSince(fromVersion: Long): DataFrame = {
     val cur = currentSnapshot
-    require(fromVersion <= cur.version,
-      s"fromVersion $fromVersion is beyond current version ${cur.version}")
-    var prev = snapshotAt(fromVersion)
+    require(fromVersion >= 0 && fromVersion <= cur.version,
+      s"fromVersion $fromVersion out of range [0, ${cur.version}]")
+    // one directory listing for the whole walk (per-version snapshotAt
+    // would re-list — O(window × snapshots) at a months-long history);
+    // name parsing shared with snapshotAt via versionOfName
+    val byVersion: Map[Long, Path] = listed(snapsDir).flatMap { p =>
+      versionOfName(p.getFileName.toString).map(_ -> p)
+    }.toMap
+    def snap(v: Long): Snapshot = readSnapshot(byVersion.getOrElse(v,
+      sys.error(s"no snapshot for version $v (expired or never committed)")))
+    var prev = snap(fromVersion)
     val added = Seq.newBuilder[String]
     for (v <- fromVersion + 1 to cur.version) {
-      val s = snapshotAt(v)
+      val s = snap(v)
       s.op match {
         case "ingest-delta" =>
           s.deltas.foreach { case (b, fs) =>
@@ -402,6 +425,10 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       }
       prev = s
     }
+    // the walk parsed O(window) historical manifests into the cache;
+    // restore the live-set bound (a polling reader never commits, so
+    // commit-time pruning alone would leak driver memory here)
+    pruneManifestCache(cur.manifestNames.values.toSet, cur.numBuckets)
     val cols = cur.schema.fields.map(_.name)
       .filter(n => !metaColNames.contains(n) || n == "_lsn" || n == "_op")
     val paths = added.result().map(f => rootPath.resolve(f).toString)

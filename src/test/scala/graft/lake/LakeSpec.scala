@@ -636,12 +636,18 @@ class LakeSpec extends SparkSpec {
       (5L, "I", "c1", 1, "a3"), (6L, "D", "c2", 0, "")),
       s"change feed must be the window's raw events (incl. the compacted-away " +
         s"batch and the delete tombstone), got $got")
-    // evolved column reads as null on pre-evolution files, present in schema
-    assert(table.readChangesSince(vMid).columns.contains("note"))
+    // evolved column actually READS as null on pre-evolution files (not
+    // just present in the schema — a scan-time strictness regression on
+    // missing parquet columns would pass a columns-only check)
+    val notes = table.readChangesSince(vMid).select("note")
+      .collect().map(r => Option(r.getString(0)))
+    assert(notes.length == 4 && notes.forall(_.isEmpty),
+      "evolved column must collect as null on pre-evolution delta files")
     // boundary windows
     assert(table.readChangesSince(table.currentSnapshot.version).count() == 0,
       "empty window must yield no events")
     assert(table.readChangesSince(0L).count() == 6, "full window = all events")
+    intercept[IllegalArgumentException](table.readChangesSince(-1L))
   }
 
   test("readChangesSince rejects copy-on-write ingest in the window loudly") {
