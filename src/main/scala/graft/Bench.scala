@@ -178,6 +178,32 @@ object Bench {
       2000000L, buckets = 32,
       CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
     results("cdc_replay_2m_stream_tail") = tailSec
+    // CDC-OUT: drain the full change feed of a freshly MoR-replayed table
+    // through the streaming graft-changes source (AvailableNow) — the
+    // downstream-consumer side of the engine. Rate is per EMITTED event
+    // (delta files hold per-batch LWW winners, so emitted < raw replayed).
+    val cfTableDir = java.nio.file.Files.createTempDirectory("graft-bench-cf").toString
+    val cfCk = java.nio.file.Files.createTempDirectory("graft-bench-cfck").toString
+    val cfTable = new LakeTable(spark, cfTableDir, numBuckets = 32)
+    cfTable.create(Model.transcriptSchema)
+    CdcApply.replay(spark, cfTable, segments,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
+    val drained = new java.util.concurrent.atomic.AtomicLong()
+    val t0cf = System.nanoTime()
+    val qcf = spark.readStream.format("graft-changes")
+      .option("path", cfTableDir).option("startingVersion", "0").load()
+      .writeStream
+      .option("checkpointLocation", cfCk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        drained.addAndGet(df.count()); ()
+      }
+      .start()
+    qcf.awaitTermination()
+    val cfSec = (System.nanoTime() - t0cf) / 1e9
+    val epsCf = drained.get() / cfSec
+    results("cdf_drain_2m") = cfSec
+    deleteRec(cfTableDir); deleteRec(cfCk)
     deleteRec(work)
 
     val loadAfter = loadAvg
@@ -186,7 +212,7 @@ object Bench {
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_mor_clustered":$epsClus%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"cdc_events_per_sec_stream_tail":$epsTail%.0f,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_mor_clustered":$epsClus%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"cdc_events_per_sec_stream_tail":$epsTail%.0f,"cdf_drain_events_per_sec":$epsCf%.0f,"cdf_drained_events":${drained.get()},"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}"""
     println(line)
     // the driver captures only a log TAIL — round 4's per-query evidence
     // fell off the front of the artifact. The file copy is always complete.

@@ -37,6 +37,14 @@ object Queries {
     f.toString
   }
 
+  /** Scratch directory for queries that build a lake table / stream sink;
+    * JVM-exit best-effort cleanup (tmpfs contents are small). */
+  private def tmpWorkDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   val base = "http://ex.org/"
 
   // ---------------------------------------------------------------- queries
@@ -403,6 +411,52 @@ object Queries {
         .kept.select("doc_id")
     }),
 
+    // the streaming change-feed source (CDC-out, graft-changes format)
+    // end-to-end: events mapped to change events, applied as four MoR
+    // batches into a scratch lake table, then the LAST TWO batches' window
+    // streamed back out (startingVersion = mid-history version,
+    // maxVersionsPerTrigger=1 → one micro-batch per commit) into a parquet
+    // sink. Keys are unique per event (turn_idx = event_id), so the feed is
+    // exactly the window's raw events — a plain SELECT for DuckDB
+    "q_change_feed_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = T(s, d, "events").select(
+        col("event_id").as("lsn"),
+        when(col("event_type") === "click", "U").otherwise("I").as("op"),
+        concat(lit("u"), col("user_id")).as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"),
+        col("event_type").as("role"),
+        concat(lit("t"), col("event_id")).as("text"),
+        col("ts"))
+      val root = tmpWorkDir("graft-cfs")
+      val table = new graft.lake.LakeTable(s, s"$root/table", numBuckets = 4)
+      table.create(graft.model.Model.transcriptSchema)
+      val mor = graft.cdc.CdcApply.Options(mergeOnRead = true)
+      var vMid = 0L
+      for (i <- 0 to 3) {
+        graft.cdc.CdcApply.applyBatch(table,
+          events.filter(col("lsn") % 4 === i), i.toLong, mor)
+        if (i == 1) vMid = table.currentVersion
+      }
+      val sink = s"$root/sink"
+      val q = s.readStream.format("graft-changes")
+        .option("path", table.root)
+        .option("startingVersion", vMid.toString)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).select(
+        col("_lsn").as("lsn"), col("_op").as("op"), col("conv_id"),
+        col("turn_idx"), col("role"), col("text"))
+    }),
+
     // multimodal plumbing (stubbed decode, real schema/batching); the
     // integer checksum over the decoded feature vector gives the oracle a
     // content check, not just schema+rows
@@ -674,5 +728,17 @@ object Queries {
         |        row_number() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1 AS i,
         |        count(*) OVER (PARTITION BY event_id % 3) AS n
         |      FROM base)
-        |SELECT event_id, user_id FROM w WHERE i >= 1 AND i < n - 1 AND (i - 1) % 2 = 0""".stripMargin)
+        |SELECT event_id, user_id FROM w WHERE i >= 1 AND i < n - 1 AND (i - 1) % 2 = 0""".stripMargin,
+
+    // the streamed window = batches 2 and 3's raw events (unique keys →
+    // no LWW collapse; compaction/schema commits add no events)
+    "q_change_feed_stream" ->
+      """SELECT event_id AS lsn,
+        |       CASE WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+        |       'u' || CAST(user_id AS VARCHAR) AS conv_id,
+        |       CAST(event_id AS INTEGER) AS turn_idx,
+        |       event_type AS role,
+        |       't' || CAST(event_id AS VARCHAR) AS text
+        |FROM events
+        |WHERE event_id % 4 IN (2, 3)""".stripMargin)
 }

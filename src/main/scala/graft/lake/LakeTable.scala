@@ -143,6 +143,11 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     }
   }
 
+  /** Version of the current snapshot — the change-feed offset axis
+    * (durable, monotonic; one tiny pointer read, no JSON parse on the
+    * cached path). */
+  def currentVersion: Long = currentSnapshot.version
+
   private def readFileMap(node: JsonNode, field: String): Map[Int, Seq[String]] =
     Option(node.get(field)).map(_.asInstanceOf[ObjectNode].properties().asScala.map { e =>
       e.getKey.toInt -> e.getValue.asInstanceOf[ArrayNode].asScala.map(_.asText).toSeq
@@ -395,8 +400,32 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * snapshots without a commit-kind record error likewise. */
   def readChangesSince(fromVersion: Long): DataFrame = {
     val cur = currentSnapshot
-    require(fromVersion >= 0 && fromVersion <= cur.version,
-      s"fromVersion $fromVersion out of range [0, ${cur.version}]")
+    val paths = changeFilesBetween(fromVersion, cur.version)
+      .map(f => rootPath.resolve(f).toString)
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema)
+      else spark.read.schema(cur.schema).parquet(paths: _*)
+    df.select(changeSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Shape of a change-feed row: the public columns plus `_lsn` (event
+    * order — consumers fold with max-_lsn per key) and `_op` (I/U/D). */
+  def changeSchema: StructType = {
+    val s = currentSnapshot.schema
+    StructType(s.fields.filter(f =>
+      !metaColNames.contains(f.name) || f.name == "_lsn" || f.name == "_op"))
+  }
+
+  /** Relative paths of the delta files holding every change event committed
+    * in `(fromVersion, toVersion]` — the driver-side metadata walk behind
+    * [[readChangesSince]] and each micro-batch of the streaming change-feed
+    * source ([[graft.streaming.ChangeFeedSource]]). O(window) snapshot
+    * reads, no Spark job, no data IO. */
+  def changeFilesBetween(fromVersion: Long, toVersion: Long): Seq[String] = {
+    val cur = currentSnapshot
+    require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur.version,
+      s"window ($fromVersion, $toVersion] out of range [0, ${cur.version}]")
     // one directory listing for the whole walk (per-version snapshotAt
     // would re-list — O(window × snapshots) at a months-long history);
     // name parsing shared with snapshotAt via versionOfName
@@ -407,7 +436,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       sys.error(s"no snapshot for version $v (expired or never committed)")))
     var prev = snap(fromVersion)
     val added = Seq.newBuilder[String]
-    for (v <- fromVersion + 1 to cur.version) {
+    for (v <- fromVersion + 1 to toVersion) {
       val s = snap(v)
       s.op match {
         case "ingest-delta" =>
@@ -429,14 +458,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     // restore the live-set bound (a polling reader never commits, so
     // commit-time pruning alone would leak driver memory here)
     pruneManifestCache(cur.manifestNames.values.toSet, cur.numBuckets)
-    val cols = cur.schema.fields.map(_.name)
-      .filter(n => !metaColNames.contains(n) || n == "_lsn" || n == "_op")
-    val paths = added.result().map(f => rootPath.resolve(f).toString)
-    val df =
-      if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema)
-      else spark.read.schema(cur.schema).parquet(paths: _*)
-    df.select(cols.map(col).toSeq: _*)
+    added.result()
   }
 
   /** Data skipping: files of `convId`'s bucket whose recorded key range

@@ -42,6 +42,25 @@ object GraftShim {
     expand(df.queryExecution.executedPlan).map(_.nodeName)
   }
 
+  /** A parquet-backed DataFrame tagged `isStreaming = true` — what a V1
+    * streaming `Source.getBatch` must return (MicroBatchExecution asserts
+    * the flag). Spark's own FileStreamSource builds its batches exactly
+    * this way (resolve a file relation, wrap in a streaming
+    * LogicalRelation); `DataSource`/`LogicalRelation`/`Dataset.ofRows` are
+    * `private[sql]`, hence this in-package bridge. An empty `paths` yields
+    * an empty streaming batch of the same schema. */
+  def streamingParquetDf(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val relation = DataSource(
+      sparkSession = cs,
+      paths = paths,
+      userSpecifiedSchema = Some(schema),
+      className = "parquet").resolveRelation(checkFilesExist = false)
+    classic.Dataset.ofRows(cs, LogicalRelation(relation, isStreaming = true))
+  }
+
   /** The file-stream source's durable per-batch file manifest
     * (`<checkpoint>/sources/0`), written by the source BEFORE a batch's
     * foreachBatch runs — the recovery journal of the pipelined streaming

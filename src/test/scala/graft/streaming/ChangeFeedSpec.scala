@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.CdcApply
+import graft.lake.LakeTable
+import graft.model.Model
+import org.apache.spark.sql.{DataFrame, GraftShim}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField}
+
+/** The streaming change-feed source (CDC-out): batch-walk parity under
+  * admission control, mid-stream tailing, exactly-once across restart,
+  * chained CDC into a derived table, loud failure modes. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mor = CdcApply.Options(mergeOnRead = true, compactEvery = 100)
+
+  private def cfBatch(rows: Seq[(Long, String, String, Int, String, String)]) =
+    rows.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text")
+      .withColumn("ts", current_timestamp())
+
+  private def newTable(prefix: String, buckets: Int = 2): LakeTable = {
+    val t = new LakeTable(spark, tmpDir(prefix), numBuckets = buckets)
+    t.create(Model.transcriptSchema)
+    t
+  }
+
+  private def feed(table: LakeTable, extra: (String, String)*) = {
+    val r = spark.readStream.format("graft-changes").option("path", table.root)
+    extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  private def waitUntil(what: String, timeoutMs: Int = 30000)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond) {
+      if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
+      Thread.sleep(50)
+    }
+  }
+
+  private def chainMessages(t: Throwable): String = {
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+  }
+
+  test("AvailableNow replay equals the batch walk; maxVersionsPerTrigger splits batches; scan has no shuffle") {
+    val table = newTable("cfs-replay")
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (1L, "I", "c1", 0, "user", "a1"), (2L, "I", "c2", 0, "user", "b1"))), 0L, mor)
+    CdcApply.applyBatch(table, cfBatch(Seq((3L, "U", "c1", 0, "user", "a2"))), 1L, mor)
+    // maintenance in the middle of the history: compaction folds batch
+    // 0/1's delta files out of the live snapshot (only the history walk
+    // still sees them) and a schema commit is a no-event version
+    table.compact()
+    table.evolveSchema(Seq(StructField("note", StringType)))
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (4L, "I", "c3", 0, "user", "d1"), (5L, "D", "c2", 0, "user", ""))), 2L, mor)
+
+    val rows = scala.collection.mutable.Set[(Long, String, String, Int, String)]()
+    val nonEmptyBatches = scala.collection.mutable.Buffer[Long]()
+    val plans = scala.collection.mutable.Buffer[Seq[String]]()
+    val q = feed(table, "startingVersion" -> "0", "maxVersionsPerTrigger" -> "2")
+      .writeStream
+      .option("checkpointLocation", tmpDir("cfs-replay-ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val got = df.select("_lsn", "_op", "conv_id", "turn_idx", "text").collect()
+        if (got.nonEmpty) { nonEmptyBatches += id; plans += GraftShim.livePhysicalNodeNames(df) }
+        rows ++= got.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    val expect = Set(
+      (1L, "I", "c1", 0, "a1"), (2L, "I", "c2", 0, "b1"), (3L, "U", "c1", 0, "a2"),
+      (4L, "I", "c3", 0, "d1"), (5L, "D", "c2", 0, ""))
+    assert(rows.toSet == expect, s"streamed feed must equal the raw events, got $rows")
+    assert(nonEmptyBatches.size >= 2,
+      s"maxVersionsPerTrigger=2 must split the 5-commit replay, got batches $nonEmptyBatches")
+    assert(plans.forall(ns => !ns.exists(_.toLowerCase.contains("exchange"))),
+      s"a change-feed micro-batch is one parquet scan, no shuffle; got $plans")
+
+    // parity with the batch walk over the same window
+    val walked = table.readChangesSince(0L)
+      .select("_lsn", "_op", "conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4))).toSet
+    assert(walked == rows.toSet, "streaming source and readChangesSince must agree")
+  }
+
+  test("tail: default startingVersion=latest skips history; mid-stream commits arrive; restart is exactly-once") {
+    val table = newTable("cfs-tail")
+    // history BEFORE the stream exists — must not be delivered
+    CdcApply.applyBatch(table, cfBatch(Seq((1L, "I", "c1", 0, "user", "old"))), 0L, mor)
+
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def start(ck: String): StreamingQuery = feed(table)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("_lsn").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .start()
+
+    val ck = tmpDir("cfs-tail-ck")
+    val q1 = start(ck)
+    try {
+      CdcApply.applyBatch(table, cfBatch(Seq(
+        (2L, "I", "c1", 1, "user", "x"), (3L, "I", "c2", 0, "user", "y"))), 1L, mor)
+      waitUntil("lsn 2 and 3 to stream")(seen.contains(2L) && seen.contains(3L))
+      CdcApply.applyBatch(table, cfBatch(Seq((4L, "U", "c2", 0, "user", "y2"))), 2L, mor)
+      waitUntil("lsn 4 to stream")(seen.contains(4L))
+    } finally { q1.stop(); q1.awaitTermination() }
+    assert(seen.size == 3 && !seen.contains(1L),
+      s"tail must deliver exactly the post-start commits once, got $seen")
+
+    // commit while the stream is DOWN, restart from the checkpoint: the
+    // checkpointed offset dominates startingVersion=latest (no loss), and
+    // nothing already delivered is re-delivered (no dupes)
+    CdcApply.applyBatch(table, cfBatch(Seq((5L, "I", "c3", 0, "user", "z"))), 3L, mor)
+    val q2 = start(ck)
+    try {
+      waitUntil("lsn 5 after restart")(seen.contains(5L))
+      // a few extra triggers to give any erroneous re-delivery time to land
+      Thread.sleep(300)
+    } finally { q2.stop(); q2.awaitTermination() }
+    assert(seen.size == 4 && !seen.contains(1L),
+      s"restart must resume from the checkpoint exactly-once, got $seen")
+  }
+
+  test("chained CDC: a downstream table applied from the change feed equals upstream state") {
+    val upstream = newTable("cfs-up")
+    val downstream = newTable("cfs-down", buckets = 4)
+    // out-of-order LSNs ACROSS batches: lsn 10 (batch 0) must beat lsn 5
+    // (batch 1) downstream, exactly as it does upstream; plus a delete
+    CdcApply.applyBatch(upstream, cfBatch(Seq(
+      (10L, "U", "c1", 0, "user", "final"), (2L, "I", "c2", 0, "user", "keep"),
+      (3L, "I", "c3", 0, "tool", "gone"))), 0L, mor)
+    CdcApply.applyBatch(upstream, cfBatch(Seq(
+      (5L, "I", "c1", 0, "user", "stale"), (6L, "D", "c3", 0, "tool", ""))), 1L, mor)
+
+    val q = feed(upstream, "startingVersion" -> "0")
+      .writeStream
+      .option("checkpointLocation", tmpDir("cfs-chain-ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val events = df.withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op")
+        CdcApply.applyBatch(downstream, events, id, mor)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    def state(t: LakeTable): Map[(String, Int), (String, String)] =
+      t.read().collect()
+        .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+    val up = state(upstream)
+    assert(up == Map(("c1", 0) -> ("user", "final"), ("c2", 0) -> ("user", "keep")),
+      s"upstream sanity: LWW + delete, got $up")
+    assert(state(downstream) == up,
+      "downstream table maintained from the change feed must equal upstream state")
+  }
+
+  test("copy-on-write commit in the window fails the stream loudly; bad options reject") {
+    val table = newTable("cfs-cow")
+    CdcApply.applyBatch(table, cfBatch(Seq((1L, "I", "c1", 0, "user", "x"))), 0L) // CoW
+    val q = feed(table, "startingVersion" -> "0")
+      .writeStream
+      .option("checkpointLocation", tmpDir("cfs-cow-ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception](q.awaitTermination())
+    assert(chainMessages(e).contains("copy-on-write"),
+      s"CoW window must fail the query with a diagnosis, got: ${chainMessages(e)}")
+
+    def loadWith(opts: (String, String)*): DataFrame = feed(table, opts: _*)
+    val noPath = intercept[Exception] {
+      spark.readStream.format("graft-changes").load().writeStream
+        .option("checkpointLocation", tmpDir("cfs-np-ck"))
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+    }
+    assert(chainMessages(noPath).contains("requires option 'path'"))
+    val badStart = intercept[Exception] {
+      loadWith("startingVersion" -> "nope").writeStream
+        .option("checkpointLocation", tmpDir("cfs-bs-ck"))
+        .foreachBatch((_: DataFrame, _: Long) => ()).start().awaitTermination()
+    }
+    assert(chainMessages(badStart).contains("startingVersion"))
+    val badMax = intercept[Exception] {
+      loadWith("maxVersionsPerTrigger" -> "0").writeStream
+        .option("checkpointLocation", tmpDir("cfs-bm-ck"))
+        .foreachBatch((_: DataFrame, _: Long) => ()).start().awaitTermination()
+    }
+    assert(chainMessages(badMax).contains("maxVersionsPerTrigger"))
+  }
+}
