@@ -135,7 +135,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val table = openTable(spark, parameters)
-    val starting = parameters.get("startingVersion") match {
+    val requested = parameters.get("startingVersion") match {
       case None | Some("latest") => table.currentVersion
       case Some(v) =>
         val n = try v.trim.toLong catch { case _: NumberFormatException =>
@@ -143,6 +143,16 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
         require(n >= 0, s"graft-changes: startingVersion must be >= 0, got $n")
         n
     }
+    // The resolved start version must be STABLE across restarts (the Kafka
+    // source's initial-offset discipline): `startingVersion=latest`
+    // re-resolved per start would move FORWARD when the table advances
+    // while the consumer is down, and a crash that left batch 0 planned
+    // (offset log written) but uncommitted would then replay
+    // `getBatch(None, end)` against the newer start — an empty window, the
+    // original events silently dropped. First creation persists the
+    // resolution under the source's own checkpoint directory; every later
+    // creation reuses it verbatim.
+    val starting = persistedStartingVersion(spark, metadataPath, requested)
     val maxV = parameters.get("maxVersionsPerTrigger").map { v =>
       val n = try v.trim.toLong catch { case _: NumberFormatException =>
         sys.error(s"graft-changes: maxVersionsPerTrigger must be a positive number, got '$v'") }
@@ -160,5 +170,41 @@ object ChangeFeedSourceProvider {
     val t = new LakeTable(spark, path)
     require(t.exists, s"graft-changes: no lake table at $path")
     t
+  }
+
+  /** First stream start writes the resolved start version to
+    * `metadataPath/starting-version` (create temp + rename — checkpoint
+    * filesystems give us atomic rename); every restart reads it back, so
+    * the version batch 0 replays from can never drift from the one it was
+    * planned against. A crash before the write is safe: no batch can have
+    * been planned yet (the engine creates the source before its first
+    * `latestOffset`). */
+  private[streaming] def persistedStartingVersion(spark: SparkSession,
+      metadataPath: String, requested: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val file = new org.apache.hadoop.fs.Path(dir, "starting-version")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readBack(): Long = {
+      val in = fs.open(file)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+      if (v != requested)
+        System.err.println(s"[graft-changes] using persisted startingVersion $v " +
+          s"from $file (this run resolved $requested; the checkpointed start wins)")
+      v
+    }
+    if (fs.exists(file)) readBack()
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"starting-version.tmp.${java.util.UUID.randomUUID()}")
+      fs.mkdirs(dir)
+      val out = fs.create(tmp, false)
+      try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, file)) requested
+      else { // lost a (same-checkpoint) creation race — the winner's value rules
+        fs.delete(tmp, false)
+        readBack()
+      }
+    }
   }
 }

@@ -131,6 +131,67 @@ class ChangeFeedSpec extends SparkSpec {
       s"restart must resume from the checkpoint exactly-once, got $seen")
   }
 
+  test("crash between offset log and sink commit: batch-0 replay keeps its original window") {
+    val table = newTable("cfs-crash")
+    CdcApply.applyBatch(table, cfBatch(Seq((1L, "I", "c1", 0, "user", "old"))), 0L, mor)
+
+    val ck = tmpDir("cfs-crash-ck")
+    def run(seen: java.util.Set[java.lang.Long]): StreamingQuery = feed(table)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("_lsn").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .start()
+
+    // run 1: startingVersion=latest resolves past lsn 1's commit; one
+    // applyBatch = one table version = one micro-batch
+    val seen1 = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    val commit0 = java.nio.file.Paths.get(ck, "commits", "0")
+    val q1 = run(seen1)
+    try {
+      CdcApply.applyBatch(table, cfBatch(Seq(
+        (2L, "I", "c1", 1, "user", "x"), (3L, "I", "c2", 0, "user", "y"))), 1L, mor)
+      waitUntil("lsn 2 and 3 in run 1")(seen1.contains(2L) && seen1.contains(3L))
+      // don't stop between foreachBatch and the engine's commit write —
+      // the deletion below must remove a RECORD, not observe a race
+      waitUntil("batch 0 commit record")(java.nio.file.Files.exists(commit0))
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    // simulate a crash AFTER the offset log wrote batch 0 but BEFORE the
+    // sink committed it: offsets/0 survives, commits/0 does not — exactly
+    // the recovery state a kill between the two leaves behind. The local
+    // checkpoint FS is checksummed, so the `.crc` sidecar must go too or
+    // the replayed commit's rename trips over it
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      s"expected a batch-0 commit record at $commit0")
+    java.nio.file.Files.deleteIfExists(commit0.resolveSibling(".0.crc"))
+    // the table advances while the consumer is down — this is what moves
+    // a re-resolved `latest` past batch 0's planned window
+    CdcApply.applyBatch(table, cfBatch(Seq((4L, "I", "c3", 0, "user", "z"))), 2L, mor)
+
+    // run 2 replays batch 0 from the offset log with start=None: the
+    // PERSISTED starting version must hold the window open (a re-resolved
+    // `latest` would make it empty and drop lsn 2/3 from the sink forever)
+    val seen2 = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    val q2 = run(seen2)
+    try {
+      waitUntil("replayed lsn 2/3 plus new lsn 4 in run 2")(
+        seen2.contains(2L) && seen2.contains(3L) && seen2.contains(4L))
+    } finally { q2.stop(); q2.awaitTermination() }
+    assert(!seen2.contains(1L), s"pre-start history must stay excluded, got $seen2")
+  }
+
+  test("startingVersion resolution is persisted once per checkpoint") {
+    val dir = tmpDir("cfs-sv")
+    assert(ChangeFeedSourceProvider.persistedStartingVersion(spark, dir, 5L) == 5L)
+    // a later start resolving differently (table advanced) must get the
+    // original back
+    assert(ChangeFeedSourceProvider.persistedStartingVersion(spark, dir, 9L) == 5L)
+  }
+
   test("chained CDC: a downstream table applied from the change feed equals upstream state") {
     val upstream = newTable("cfs-up")
     val downstream = newTable("cfs-down", buckets = 4)
