@@ -422,7 +422,14 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * [[readChangesSince]] and each micro-batch of the streaming change-feed
     * source ([[graft.streaming.ChangeFeedSource]]). O(window) snapshot
     * reads, no Spark job, no data IO. */
-  def changeFilesBetween(fromVersion: Long, toVersion: Long): Seq[String] = {
+  def changeFilesBetween(fromVersion: Long, toVersion: Long): Seq[String] =
+    changeFilesByVersion(fromVersion, toVersion).flatMap(_._2)
+
+  /** [[changeFilesBetween]] with per-version granularity: `(v, files added
+    * by commit v)` for every v in `(fromVersion, toVersion]` — versions
+    * that add no change events (compact/rescale/schema) yield empty lists.
+    * One directory listing for the whole walk. */
+  def changeFilesByVersion(fromVersion: Long, toVersion: Long): Seq[(Long, Seq[String])] = {
     val cur = currentSnapshot
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur.version,
       s"window ($fromVersion, $toVersion] out of range [0, ${cur.version}]")
@@ -435,19 +442,19 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     def snap(v: Long): Snapshot = readSnapshot(byVersion.getOrElse(v,
       sys.error(s"no snapshot for version $v (expired or never committed)")))
     var prev = snap(fromVersion)
-    val added = Seq.newBuilder[String]
+    val added = Seq.newBuilder[(Long, Seq[String])]
     for (v <- fromVersion + 1 to toVersion) {
       val s = snap(v)
       s.op match {
         case "ingest-delta" =>
-          s.deltas.foreach { case (b, fs) =>
-            added ++= fs.diff(prev.deltas.getOrElse(b, Nil)) }
+          added += v -> s.deltas.toSeq.flatMap { case (b, fs) =>
+            fs.diff(prev.deltas.getOrElse(b, Nil)) }
         case "ingest-cow" =>
           sys.error(s"readChangesSince: snapshot v$v is a copy-on-write " +
             "ingest commit — change events are folded into rewritten base " +
             "files and cannot be recovered from metadata; use merge-on-read " +
             "apply for tables that feed incremental consumers")
-        case "compact" | "rescale" | "schema" | "init" => // no change events
+        case "compact" | "rescale" | "schema" | "init" => added += v -> Nil
         case other =>
           sys.error(s"readChangesSince: snapshot v$v carries no commit-kind " +
             s"record ('$other') — history predates change-feed support")
@@ -459,6 +466,19 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     // commit-time pruning alone would leak driver memory here)
     pruneManifestCache(cur.manifestNames.values.toSet, cur.numBuckets)
     added.result()
+  }
+
+  /** Exact change-event count per commit in `(fromVersion, toVersion]` —
+    * parquet FOOTER reads over each commit's added files (footer-stats
+    * discipline: exact under task retries; no data pages touched). Feeds
+    * the change-feed source's row-based admission control; the caller is
+    * expected to cache per-version results (files are immutable, so a
+    * version's count never changes). */
+  def changeRowsByVersion(fromVersion: Long, toVersion: Long): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    changeFilesByVersion(fromVersion, toVersion).map { case (v, files) =>
+      v -> files.map(f => ParquetStats.rowCount(rootPath.resolve(f).toString, conf)).sum
+    }
   }
 
   /** Data skipping: files of `convId`'s bucket whose recorded key range

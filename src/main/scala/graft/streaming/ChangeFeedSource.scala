@@ -45,10 +45,22 @@ import org.apache.spark.sql.types.StructType
   * evolved AFTER stream start appear on restart.
   */
 class ChangeFeedSource(spark: SparkSession, table: LakeTable,
-    startingVersion: Long, maxVersionsPerTrigger: Option[Long])
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long],
+    maxRowsPerTrigger: Option[Long] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val pinnedSchema: StructType = table.changeSchema
+
+  /** version → exact change-event count of that commit (parquet footer
+    * sums; files are immutable so an entry never changes). Filled in
+    * chunks during row-based admission, pruned below each planned offset —
+    * size stays O(versions examined but not yet admitted), and each
+    * file's footer is read ONCE over the stream's lifetime. */
+  private val rowsByVersion =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  /** Versions of row counts to prefetch per walk — amortizes the walk's
+    * snapshot-directory listing over many admission decisions. */
+  private val rowWalkChunk = 64L
 
   override def schema: StructType = pinnedSchema
 
@@ -71,9 +83,53 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(startOffset).map(versionOf).getOrElse(startingVersion)
     val cur = availableNowCap.fold(table.currentVersion)(math.min(_, table.currentVersion))
-    val end = maxVersionsPerTrigger.fold(cur)(m => math.min(cur, from + m))
+    val byVersions = maxVersionsPerTrigger.fold(cur)(m => math.min(cur, from + m))
+    val end = maxRowsPerTrigger match {
+      case None => byVersions
+      case Some(cap) => admitByRows(from, byVersions, cap)
+    }
     if (end <= from) startOffset else LongOffset(end)
   }
+
+  /** Row-based admission: extend the window version by version while the
+    * accumulated EXACT change-event count stays within `cap`; always admit
+    * at least one version (a single oversized commit must still make
+    * progress — it can't be split, offsets are commit-aligned). Counts come
+    * from [[LakeTable.changeRowsByVersion]] footer sums, cached per version
+    * and prefetched `rowWalkChunk` versions at a time so a far-behind
+    * consumer doesn't pay one history walk per admission step. */
+  private def admitByRows(from: Long, hardEnd: Long, cap: Long): Long = {
+    var v = from
+    var rows = 0L
+    while (v < hardEnd) {
+      val r = rowsOf(v + 1, hardEnd)
+      if (v > from && rows + r > cap) {
+        pruneRowCache(from)
+        return v
+      }
+      v += 1; rows += r
+    }
+    pruneRowCache(from)
+    v
+  }
+
+  private def rowsOf(v: Long, hardEnd: Long): Long = {
+    val got = rowsByVersion.get(v)
+    if (got != null) got.longValue
+    else {
+      val hi = math.min(v + rowWalkChunk - 1, hardEnd)
+      table.changeRowsByVersion(v - 1, hi).foreach { case (ver, r) =>
+        rowsByVersion.put(ver, r)
+      }
+      rowsByVersion.get(v).longValue
+    }
+  }
+
+  /** Admitted versions never need their counts again (offsets only move
+    * forward); without the prune a long tail would hold one entry per
+    * lifetime commit. */
+  private def pruneRowCache(below: Long): Unit =
+    rowsByVersion.keySet.removeIf(k => k.longValue <= below)
 
   override def getOffset: Option[Offset] =
     throw new UnsupportedOperationException(
@@ -117,7 +173,10 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
   * `path` (required, table root), `startingVersion` (a version number or
   * `latest`, default latest: tail new changes only; `0` replays the full
   * retained history), `maxVersionsPerTrigger` (bound commits per
-  * micro-batch, default unbounded). */
+  * micro-batch, default unbounded), `maxRowsPerTrigger` (bound EVENTS per
+  * micro-batch — exact footer-stat counts, window still commit-aligned so
+  * one oversized commit is admitted alone; the sturdier cold-start knob
+  * when producer batch sizes vary). */
 class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
   import ChangeFeedSourceProvider._
 
@@ -153,13 +212,14 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     // resolution under the source's own checkpoint directory; every later
     // creation reuses it verbatim.
     val starting = persistedStartingVersion(spark, metadataPath, requested)
-    val maxV = parameters.get("maxVersionsPerTrigger").map { v =>
+    def positiveLong(name: String): Option[Long] = parameters.get(name).map { v =>
       val n = try v.trim.toLong catch { case _: NumberFormatException =>
-        sys.error(s"graft-changes: maxVersionsPerTrigger must be a positive number, got '$v'") }
-      require(n > 0, s"graft-changes: maxVersionsPerTrigger must be > 0, got $n")
+        sys.error(s"graft-changes: $name must be a positive number, got '$v'") }
+      require(n > 0, s"graft-changes: $name must be > 0, got $n")
       n
     }
-    new ChangeFeedSource(spark, table, starting, maxV)
+    new ChangeFeedSource(spark, table, starting,
+      positiveLong("maxVersionsPerTrigger"), positiveLong("maxRowsPerTrigger"))
   }
 }
 

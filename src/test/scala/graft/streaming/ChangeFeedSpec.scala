@@ -131,6 +131,35 @@ class ChangeFeedSpec extends SparkSpec {
       s"restart must resume from the checkpoint exactly-once, got $seen")
   }
 
+  test("maxRowsPerTrigger packs commit-aligned batches to the cap; oversized commit admitted alone") {
+    val table = newTable("cfs-rows")
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (1L, "I", "c1", 0, "user", "a"), (2L, "I", "c1", 1, "user", "b"))), 0L, mor)
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (3L, "I", "c2", 0, "user", "c"), (4L, "I", "c2", 1, "user", "d"))), 1L, mor)
+    table.compact() // zero-event version mid-window: admitted for free
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (5L, "I", "c3", 0, "user", "e"), (6L, "I", "c3", 1, "user", "f"),
+      (7L, "I", "c3", 2, "user", "g"), (8L, "I", "c3", 3, "user", "h"),
+      (9L, "I", "c3", 4, "user", "i"))), 2L, mor)
+    CdcApply.applyBatch(table, cfBatch(Seq((10L, "I", "c4", 0, "user", "j"))), 3L, mor)
+
+    val batches = scala.collection.mutable.Buffer[Set[Long]]()
+    val q = feed(table, "startingVersion" -> "0", "maxRowsPerTrigger" -> "4")
+      .writeStream
+      .option("checkpointLocation", tmpDir("cfs-rows-ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ls = df.select("_lsn").collect().map(_.getLong(0)).toSet
+        if (ls.nonEmpty) batches += ls
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.toSeq == Seq(Set(1L, 2L, 3L, 4L), (5L to 9L).toSet, Set(10L)),
+      s"cap=4 must split at commit boundaries (2+2+0 | oversized 5 alone | 1), got $batches")
+  }
+
   test("crash between offset log and sink commit: batch-0 replay keeps its original window") {
     val table = newTable("cfs-crash")
     CdcApply.applyBatch(table, cfBatch(Seq((1L, "I", "c1", 0, "user", "old"))), 0L, mor)
