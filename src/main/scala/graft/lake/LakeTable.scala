@@ -450,13 +450,13 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
           added += v -> s.deltas.toSeq.flatMap { case (b, fs) =>
             fs.diff(prev.deltas.getOrElse(b, Nil)) }
         case "ingest-cow" =>
-          sys.error(s"readChangesSince: snapshot v$v is a copy-on-write " +
+          sys.error(s"change-feed walk: snapshot v$v is a copy-on-write " +
             "ingest commit — change events are folded into rewritten base " +
             "files and cannot be recovered from metadata; use merge-on-read " +
             "apply for tables that feed incremental consumers")
         case "compact" | "rescale" | "schema" | "init" => added += v -> Nil
         case other =>
-          sys.error(s"readChangesSince: snapshot v$v carries no commit-kind " +
+          sys.error(s"change-feed walk: snapshot v$v carries no commit-kind " +
             s"record ('$other') — history predates change-feed support")
       }
       prev = s
@@ -468,16 +468,17 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     added.result()
   }
 
-  /** Exact change-event count per commit in `(fromVersion, toVersion]` —
-    * parquet FOOTER reads over each commit's added files (footer-stats
-    * discipline: exact under task retries; no data pages touched). Feeds
-    * the change-feed source's row-based admission control; the caller is
-    * expected to cache per-version results (files are immutable, so a
-    * version's count never changes). */
-  def changeRowsByVersion(fromVersion: Long, toVersion: Long): Seq[(Long, Long)] = {
+  /** Per-commit `(version, exact change-event count, files added)` for
+    * `(fromVersion, toVersion]` — counts are parquet FOOTER reads over each
+    * commit's added files (footer-stats discipline: exact under task
+    * retries; no data pages touched). Feeds the change-feed source's
+    * row-based admission control; the caller is expected to cache
+    * per-version results (files are immutable, so an entry never
+    * changes). */
+  def changeInfoByVersion(fromVersion: Long, toVersion: Long): Seq[(Long, Long, Seq[String])] = {
     val conf = spark.sparkContext.hadoopConfiguration
     changeFilesByVersion(fromVersion, toVersion).map { case (v, files) =>
-      v -> files.map(f => ParquetStats.rowCount(rootPath.resolve(f).toString, conf)).sum
+      (v, files.map(f => ParquetStats.rowCount(rootPath.resolve(f).toString, conf)).sum, files)
     }
   }
 

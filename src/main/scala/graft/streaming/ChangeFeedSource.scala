@@ -51,13 +51,14 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
 
   private val pinnedSchema: StructType = table.changeSchema
 
-  /** version → exact change-event count of that commit (parquet footer
-    * sums; files are immutable so an entry never changes). Filled in
-    * chunks during row-based admission, pruned below each planned offset —
-    * size stays O(versions examined but not yet admitted), and each
-    * file's footer is read ONCE over the stream's lifetime. */
-  private val rowsByVersion =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  /** version → (exact change-event count, files added) for that commit
+    * (parquet footer sums; files are immutable so an entry never changes).
+    * Filled in chunks during row-based admission, read back by `getBatch`
+    * (saving the window a second history walk), pruned below each planned
+    * offset — size stays O(versions examined but not yet consumed), and
+    * each file's footer is read ONCE over the stream's lifetime. */
+  private val infoByVersion =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, (Long, Seq[String])]()
   /** Versions of row counts to prefetch per walk — amortizes the walk's
     * snapshot-directory listing over many admission decisions. */
   private val rowWalkChunk = 64L
@@ -83,7 +84,12 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(startOffset).map(versionOf).getOrElse(startingVersion)
     val cur = availableNowCap.fold(table.currentVersion)(math.min(_, table.currentVersion))
-    val byVersions = maxVersionsPerTrigger.fold(cur)(m => math.min(cur, from + m))
+    // saturating cap: from + m overflows Long for an "effectively
+    // unbounded" m (e.g. Long.MaxValue) and would silently stall the
+    // stream (negative end <= from forever); cur - from is overflow-free
+    // (0 <= from <= cur)
+    val byVersions = maxVersionsPerTrigger.fold(cur)(m =>
+      if (m >= cur - from) cur else from + m)
     val end = maxRowsPerTrigger match {
       case None => byVersions
       case Some(cap) => admitByRows(from, byVersions, cap)
@@ -92,44 +98,57 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
   }
 
   /** Row-based admission: extend the window version by version while the
-    * accumulated EXACT change-event count stays within `cap`; always admit
-    * at least one version (a single oversized commit must still make
-    * progress — it can't be split, offsets are commit-aligned). Counts come
-    * from [[LakeTable.changeRowsByVersion]] footer sums, cached per version
-    * and prefetched `rowWalkChunk` versions at a time so a far-behind
-    * consumer doesn't pay one history walk per admission step. */
+    * accumulated EXACT change-event count stays within `cap`. The
+    * at-least-one floor counts only row-CARRYING versions (zero-event
+    * compact/schema commits ride along for free and never form an empty
+    * batch of their own), so a single oversized commit is admitted alone —
+    * it can't be split, offsets are commit-aligned. Counts come from
+    * [[LakeTable.changeRowsByVersion]] footer sums, cached per version and
+    * prefetched `rowWalkChunk` versions at a time so a far-behind consumer
+    * doesn't pay one history walk per admission step. A walk error
+    * (CoW/legacy commit) past the FIRST row-carrying version closes the
+    * window early: everything deliverable before the bad commit is
+    * delivered, and the error re-fires loudly once that commit heads the
+    * window. */
   private def admitByRows(from: Long, hardEnd: Long, cap: Long): Long = {
+    pruneInfoCache(from)
     var v = from
     var rows = 0L
     while (v < hardEnd) {
-      val r = rowsOf(v + 1, hardEnd)
-      if (v > from && rows + r > cap) {
-        pruneRowCache(from)
-        return v
-      }
+      val r =
+        try infoOf(v + 1, hardEnd)._1
+        catch { case _: Exception if rows > 0 => return v }
+      if (rows > 0 && rows + r > cap) return v
       v += 1; rows += r
     }
-    pruneRowCache(from)
     v
   }
 
-  private def rowsOf(v: Long, hardEnd: Long): Long = {
-    val got = rowsByVersion.get(v)
-    if (got != null) got.longValue
+  private def infoOf(v: Long, hardEnd: Long): (Long, Seq[String]) = {
+    val got = infoByVersion.get(v)
+    if (got != null) got
     else {
       val hi = math.min(v + rowWalkChunk - 1, hardEnd)
-      table.changeRowsByVersion(v - 1, hi).foreach { case (ver, r) =>
-        rowsByVersion.put(ver, r)
-      }
-      rowsByVersion.get(v).longValue
+      // the prefetch window may reach past the versions that end up
+      // admitted; a CoW/legacy commit AHEAD of the needed version must not
+      // fail planning of deliverable versions — retry with just the version
+      // actually asked for (if THAT fails, the failure is real)
+      try fillInfo(v - 1, hi)
+      catch { case _: Exception if hi > v => fillInfo(v - 1, v) }
+      infoByVersion.get(v)
     }
   }
 
-  /** Admitted versions never need their counts again (offsets only move
+  private def fillInfo(lo: Long, hi: Long): Unit =
+    table.changeInfoByVersion(lo, hi).foreach { case (ver, rows, files) =>
+      infoByVersion.put(ver, (rows, files))
+    }
+
+  /** Consumed versions never need their entries again (offsets only move
     * forward); without the prune a long tail would hold one entry per
     * lifetime commit. */
-  private def pruneRowCache(below: Long): Unit =
-    rowsByVersion.keySet.removeIf(k => k.longValue <= below)
+  private def pruneInfoCache(below: Long): Unit =
+    infoByVersion.keySet.removeIf(k => k.longValue <= below)
 
   override def getOffset: Option[Offset] =
     throw new UnsupportedOperationException(
@@ -147,7 +166,17 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
     // pinned schema rather than an error — restart must be a no-op
     val files =
       if (endV <= startV) Nil
-      else table.changeFilesBetween(startV, endV)
+      else {
+        // row-based admission already walked this window — reuse its
+        // per-version file lists instead of a second history walk; any
+        // cache miss (no row admission, recovery replay) falls back to
+        // the walk, which returns the identical deterministic result
+        val cached = (startV + 1 to endV).iterator
+          .map(v => infoByVersion.get(v)).takeWhile(_ != null)
+          .map(_._2).toVector
+        if (cached.size.toLong == endV - startV) cached.flatten
+        else table.changeFilesBetween(startV, endV)
+      }
     val paths = files.map(f =>
       java.nio.file.Paths.get(table.root).resolve(f).toString)
     GraftShim.streamingParquetDf(spark, pinnedSchema, paths)

@@ -143,21 +143,65 @@ class ChangeFeedSpec extends SparkSpec {
       (7L, "I", "c3", 2, "user", "g"), (8L, "I", "c3", 3, "user", "h"),
       (9L, "I", "c3", 4, "user", "i"))), 2L, mor)
     CdcApply.applyBatch(table, cfBatch(Seq((10L, "I", "c4", 0, "user", "j"))), 3L, mor)
+    // a zero-event version at the HEAD of a window followed by an
+    // oversized commit must not form an empty micro-batch of its own —
+    // the compact rides along with the oversized admission
+    table.compact()
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (11L, "I", "c5", 0, "user", "k"), (12L, "I", "c5", 1, "user", "l"),
+      (13L, "I", "c5", 2, "user", "m"), (14L, "I", "c5", 3, "user", "n"),
+      (15L, "I", "c5", 4, "user", "o"))), 4L, mor)
 
+    val emptyBatches = new java.util.concurrent.atomic.AtomicInteger()
     val batches = scala.collection.mutable.Buffer[Set[Long]]()
-    val q = feed(table, "startingVersion" -> "0", "maxRowsPerTrigger" -> "4")
+    // Long.MaxValue versions cap alongside: "effectively unbounded" must
+    // saturate, not overflow into a permanently stalled stream
+    val q = feed(table, "startingVersion" -> "0", "maxRowsPerTrigger" -> "4",
+        "maxVersionsPerTrigger" -> Long.MaxValue.toString)
       .writeStream
       .option("checkpointLocation", tmpDir("cfs-rows-ck"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, _: Long) =>
         val ls = df.select("_lsn").collect().map(_.getLong(0)).toSet
-        if (ls.nonEmpty) batches += ls
+        if (ls.nonEmpty) batches += ls else emptyBatches.incrementAndGet()
         ()
       }
       .start()
     q.awaitTermination()
-    assert(batches.toSeq == Seq(Set(1L, 2L, 3L, 4L), (5L to 9L).toSet, Set(10L)),
-      s"cap=4 must split at commit boundaries (2+2+0 | oversized 5 alone | 1), got $batches")
+    assert(batches.toSeq == Seq(Set(1L, 2L, 3L, 4L), (5L to 9L).toSet, Set(10L),
+        (11L to 15L).toSet),
+      s"cap=4 must split at commit boundaries (2+2+0 | oversized 5 | 1 | 0+oversized 5), got $batches")
+    assert(emptyBatches.get() == 0,
+      s"zero-event versions must ride along, never forming empty micro-batches (got ${emptyBatches.get()})")
+  }
+
+  test("maxRowsPerTrigger: CoW commit AHEAD of the admitted window doesn't block deliverable changes") {
+    val table = newTable("cfs-rowscow")
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (1L, "I", "c1", 0, "user", "a"), (2L, "I", "c1", 1, "user", "b"))), 0L, mor)
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (3L, "I", "c2", 0, "user", "c"), (4L, "I", "c2", 1, "user", "d"))), 1L, mor)
+    // a copy-on-write commit lands AFTER the deliverable window: the row
+    // admission's chunk prefetch walks into it; everything before it must
+    // still be delivered, and the stream must then fail LOUDLY once the
+    // CoW commit itself heads the window
+    CdcApply.applyBatch(table, cfBatch(Seq((5L, "U", "c1", 0, "user", "e"))), 2L) // CoW
+
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = feed(table, "startingVersion" -> "0", "maxRowsPerTrigger" -> "2")
+      .writeStream
+      .option("checkpointLocation", tmpDir("cfs-rowscow-ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("_lsn").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    val e = intercept[Exception](q.awaitTermination())
+    assert(chainMessages(e).contains("copy-on-write"),
+      s"the CoW window head must fail with a diagnosis, got: ${chainMessages(e)}")
+    assert(seen.size == 4 && Seq(1L, 2L, 3L, 4L).forall(seen.contains),
+      s"every pre-CoW change must have been delivered before the failure, got $seen")
   }
 
   test("crash between offset log and sink commit: batch-0 replay keeps its original window") {
