@@ -298,6 +298,91 @@ class ChangeFeedSpec extends SparkSpec {
       "downstream table maintained from the change feed must equal upstream state")
   }
 
+  test("live chained CDC: downstream follows WHILE upstream ingests concurrently") {
+    val upstream = newTable("cfs-liveup")
+    val downstream = newTable("cfs-livedown", buckets = 4)
+
+    // consumer first: tails from version 0 with a short trigger while the
+    // producer below is still committing — the binlog → lake → derived
+    // table loop running live, not drained after the fact
+    val q = feed(upstream, "startingVersion" -> "0")
+      .writeStream
+      .option("checkpointLocation", tmpDir("cfs-live-ck"))
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val events = df.withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op")
+        CdcApply.applyBatch(downstream, events, id, mor)
+        ()
+      }
+      .start()
+
+    def state(t: LakeTable): Map[(String, Int), (String, String)] =
+      t.read().collect()
+        .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+    try {
+      // 10 producer batches, 20 events each, interleaved with the running
+      // consumer; updates and deletes exercise LWW through the live chain
+      var lsn = 0L
+      for (b <- 0 until 10) {
+        val evs = (0 until 20).map { i =>
+          lsn += 1
+          val conv = s"c${(b * 20 + i) % 7}"
+          val turn = (b * 20 + i) / 7 % 5
+          val op = if (lsn % 11 == 0) "D" else if (lsn % 3 == 0) "U" else "I"
+          (lsn, op, conv, turn, "user", s"t$lsn")
+        }
+        CdcApply.applyBatch(upstream, cfBatch(evs), b.toLong, mor)
+        Thread.sleep(20)
+      }
+      val up = state(upstream)
+      waitUntil("downstream to converge to upstream state")(state(downstream) == up)
+    } finally { q.stop(); q.awaitTermination() }
+    assert(state(downstream) == state(upstream),
+      "downstream must equal upstream after the live chain settles")
+  }
+
+  test("schema is pinned for a running stream; evolved columns appear on restart") {
+    val table = newTable("cfs-evolve")
+    CdcApply.applyBatch(table, cfBatch(Seq(
+      (1L, "I", "c1", 0, "user", "x"))), 0L, mor)
+
+    val ck = tmpDir("cfs-evolve-ck")
+    val colsSeen = new java.util.concurrent.ConcurrentHashMap[Long, Set[String]]()
+    def start(): StreamingQuery = feed(table, "startingVersion" -> "0")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("_lsn").collect().foreach(r =>
+          colsSeen.put(r.getLong(0), df.columns.toSet))
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      waitUntil("lsn 1")(colsSeen.containsKey(1L))
+      // additive evolution WHILE the stream runs (a zero-event `schema`
+      // commit in the walk): Structured Streaming pins a query's schema,
+      // so the next batch must still arrive without `note`
+      table.evolveSchema(Seq(StructField("note", StringType)))
+      CdcApply.applyBatch(table, cfBatch(Seq((2L, "U", "c1", 0, "user", "y"))), 1L, mor)
+      waitUntil("lsn 2")(colsSeen.containsKey(2L))
+    } finally { q1.stop(); q1.awaitTermination() }
+    assert(!colsSeen.get(1L).contains("note") && !colsSeen.get(2L).contains("note"),
+      s"a running stream's schema is pinned at start, got ${colsSeen.get(2L)}")
+
+    // restart re-resolves the table schema: the evolved column now flows
+    // (as null on files written before the evolution — additive contract)
+    val q2 = start()
+    try {
+      CdcApply.applyBatch(table, cfBatch(Seq((3L, "I", "c2", 0, "user", "z"))), 2L, mor)
+      waitUntil("lsn 3")(colsSeen.containsKey(3L))
+    } finally { q2.stop(); q2.awaitTermination() }
+    assert(colsSeen.get(3L).contains("note"),
+      s"evolved columns must appear after restart, got ${colsSeen.get(3L)}")
+  }
+
   test("copy-on-write commit in the window fails the stream loudly; bad options reject") {
     val table = newTable("cfs-cow")
     CdcApply.applyBatch(table, cfBatch(Seq((1L, "I", "c1", 0, "user", "x"))), 0L) // CoW
