@@ -44,6 +44,19 @@ class ChangeFeedSpec extends SparkSpec {
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
   }
 
+  /** Public `(key -> (role, text))` state of a table — the per-turn
+    * equality the chained-CDC specs assert. */
+  private def tableState(t: LakeTable): Map[(String, Int), (String, String)] =
+    t.read().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+
+  /** foreachBatch sink that maintains `target` from the change feed. */
+  private def applyFeedBatch(target: LakeTable)(df: DataFrame, id: Long): Unit = {
+    val events = df.withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op")
+    CdcApply.applyBatch(target, events, id, mor)
+    ()
+  }
+
   test("AvailableNow replay equals the batch walk; maxVersionsPerTrigger splits batches; scan has no shuffle") {
     val table = newTable("cfs-replay")
     CdcApply.applyBatch(table, cfBatch(Seq(
@@ -280,21 +293,14 @@ class ChangeFeedSpec extends SparkSpec {
       .writeStream
       .option("checkpointLocation", tmpDir("cfs-chain-ck"))
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        val events = df.withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op")
-        CdcApply.applyBatch(downstream, events, id, mor)
-        ()
-      }
+      .foreachBatch(applyFeedBatch(downstream) _)
       .start()
     q.awaitTermination()
 
-    def state(t: LakeTable): Map[(String, Int), (String, String)] =
-      t.read().collect()
-        .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
-    val up = state(upstream)
+    val up = tableState(upstream)
     assert(up == Map(("c1", 0) -> ("user", "final"), ("c2", 0) -> ("user", "keep")),
       s"upstream sanity: LWW + delete, got $up")
-    assert(state(downstream) == up,
+    assert(tableState(downstream) == up,
       "downstream table maintained from the change feed must equal upstream state")
   }
 
@@ -309,16 +315,9 @@ class ChangeFeedSpec extends SparkSpec {
       .writeStream
       .option("checkpointLocation", tmpDir("cfs-live-ck"))
       .trigger(Trigger.ProcessingTime(50))
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        val events = df.withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op")
-        CdcApply.applyBatch(downstream, events, id, mor)
-        ()
-      }
+      .foreachBatch(applyFeedBatch(downstream) _)
       .start()
 
-    def state(t: LakeTable): Map[(String, Int), (String, String)] =
-      t.read().collect()
-        .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
     try {
       // 10 producer batches, 20 events each, interleaved with the running
       // consumer; updates and deletes exercise LWW through the live chain
@@ -334,10 +333,16 @@ class ChangeFeedSpec extends SparkSpec {
         CdcApply.applyBatch(upstream, cfBatch(evs), b.toLong, mor)
         Thread.sleep(20)
       }
-      val up = state(upstream)
-      waitUntil("downstream to converge to upstream state")(state(downstream) == up)
+      val up = tableState(upstream)
+      // generous timeout: the drain is 10+ real table commits and this
+      // host's co-tenant load can stretch them; fail FAST if the consumer
+      // query itself died rather than spinning out the clock
+      waitUntil("downstream to converge to upstream state", timeoutMs = 120000) {
+        q.exception.foreach(e => fail(s"consumer query failed: ${chainMessages(e)}"))
+        tableState(downstream) == up
+      }
     } finally { q.stop(); q.awaitTermination() }
-    assert(state(downstream) == state(upstream),
+    assert(tableState(downstream) == tableState(upstream),
       "downstream must equal upstream after the live chain settles")
   }
 
@@ -370,7 +375,7 @@ class ChangeFeedSpec extends SparkSpec {
       waitUntil("lsn 2")(colsSeen.containsKey(2L))
     } finally { q1.stop(); q1.awaitTermination() }
     assert(!colsSeen.get(1L).contains("note") && !colsSeen.get(2L).contains("note"),
-      s"a running stream's schema is pinned at start, got ${colsSeen.get(2L)}")
+      s"a running stream's schema is pinned at start, got lsn1=${colsSeen.get(1L)} lsn2=${colsSeen.get(2L)}")
 
     // restart re-resolves the table schema: the evolved column now flows
     // (as null on files written before the evolution — additive contract)
