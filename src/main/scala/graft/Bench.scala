@@ -82,6 +82,51 @@ object Bench {
     (sec, numEvents / sec)
   }
 
+  /** The full LIVE loop: continuous-tail ingest of the log into an
+    * upstream table WHILE a `graft-changes` consumer maintains a
+    * downstream table from its change feed — binlog → lake → derived
+    * table, all concurrent (north-star deployment in one number). Returns
+    * (sec, events/sec) measured until the DOWNSTREAM converges to the
+    * upstream's final row count, minus the producer's measured
+    * idle-detection dead window. */
+  def liveLoopOnce(spark: SparkSession, logRoot: String, numEvents: Long,
+      buckets: Int, opts: CdcApply.Options): (Double, Double) = {
+    val upDir = java.nio.file.Files.createTempDirectory("graft-bench-lup").toString
+    val downDir = java.nio.file.Files.createTempDirectory("graft-bench-ldown").toString
+    val ckUp = java.nio.file.Files.createTempDirectory("graft-bench-lcku").toString
+    val ckDown = java.nio.file.Files.createTempDirectory("graft-bench-lckd").toString
+    val upstream = new LakeTable(spark, upDir, numBuckets = buckets)
+    upstream.create(Model.transcriptSchema)
+    val downstream = new LakeTable(spark, downDir, numBuckets = buckets)
+    downstream.create(Model.transcriptSchema)
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graft-changes")
+      .option("path", upDir).option("startingVersion", "0").load()
+      .writeStream
+      .option("checkpointLocation", ckDown)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        CdcApply.applyBatch(downstream,
+          df.withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op"), id, opts)
+        ()
+      }
+      .start()
+    val r = graft.cdc.CdcStream.runTail(spark, logRoot, upstream, ckUp,
+      maxFilesPerTrigger = 32, intervalMs = 100L, idleStopMs = 2000L, opts = opts)
+    val target = upstream.read().count()
+    val deadline = System.nanoTime() + 300L * 1000000000L
+    while (downstream.read().count() != target && System.nanoTime() < deadline) {
+      q.exception.foreach(throw _)
+      Thread.sleep(250)
+    }
+    q.stop(); q.awaitTermination()
+    val converged = downstream.read().count() == target
+    val sec = math.max(0.001, (System.nanoTime() - t0) / 1e9 - r.deadMs / 1000.0)
+    deleteRec(upDir); deleteRec(downDir); deleteRec(ckUp); deleteRec(ckDown)
+    if (!converged) sys.error(s"live loop did not converge: downstream != $target rows")
+    (sec, numEvents / sec)
+  }
+
   def cdcReplay(spark: SparkSession, numEvents: Long, numSegments: Int,
       buckets: Int): (Double, Double) = {
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
@@ -178,6 +223,14 @@ object Bench {
       2000000L, buckets = 32,
       CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
     results("cdc_replay_2m_stream_tail") = tailSec
+    // LIVE LOOP: tail-ingest the same log into an upstream table while a
+    // graft-changes consumer maintains a downstream table concurrently —
+    // end-to-end binlog → lake → derived-table rate (events/sec over the
+    // time until the DOWNSTREAM holds the final state)
+    val (loopSec, epsLoop) = liveLoopOnce(spark, s"$work/log-2000000-4",
+      2000000L, buckets = 32,
+      CdcApply.Options(mergeOnRead = true, compactEvery = 16, pipelineDepth = 4))
+    results("cdc_live_loop_2m") = loopSec
     // CDC-OUT: drain the full change feed of a freshly MoR-replayed table
     // through the streaming graft-changes source (AvailableNow) — the
     // downstream-consumer side of the engine. Rate is per EMITTED event
@@ -212,7 +265,7 @@ object Bench {
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_mor_clustered":$epsClus%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"cdc_events_per_sec_stream_tail":$epsTail%.0f,"cdf_drain_events_per_sec":$epsCf%.0f,"cdf_drained_events":${drained.get()},"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_start_sec":$starts,"errors":$errs,"sf":"$sfDir","cdc_events_per_sec":$eps%.0f,"cdc_events_per_sec_mor":$epsMor%.0f,"cdc_events_per_sec_mor_pipelined":$epsPipe%.0f,"cdc_events_per_sec_mor_clustered":$epsClus%.0f,"cdc_events_per_sec_stream_pipelined":$epsStream%.0f,"cdc_events_per_sec_stream_tail":$epsTail%.0f,"cdc_live_loop_events_per_sec":$epsLoop%.0f,"cdf_drain_events_per_sec":$epsCf%.0f,"cdf_drained_events":${drained.get()},"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"run_epoch_ms":$runStartMs}"""
     println(line)
     // the driver captures only a log TAIL — round 4's per-query evidence
     // fell off the front of the artifact. The file copy is always complete.
