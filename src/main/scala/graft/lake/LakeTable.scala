@@ -86,6 +86,12 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     * commits strictly in order through this lock). */
   private val commitLock = new Object
 
+  /** Test seam: runs between the snapshot CAS-link and the pointer flip —
+    * the worst interrupt/crash window; specs use it to pin commit
+    * atomicity under thread interrupts (a `shutdownNow` during a pipelined
+    * abort lands exactly here). */
+  private[graft] var testMidCommitHook: () => Unit = () => ()
+
   /** Relative paths of files written but not yet resolved by a commit —
     * excluded from [[expireSnapshots]]' orphan GC no matter their age, so
     * a pipelined write whose write-to-commit gap exceeds the mtime grace
@@ -133,7 +139,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   @volatile private var cachedSnap: (String, Snapshot) = null
 
   def currentSnapshot: Snapshot = {
-    val name = Files.readString(latestPtr).trim
+    val name = LakeTable.readStringRaw(latestPtr).trim
     val c = cachedSnap
     if (c != null && c._1 == name) c._2
     else {
@@ -179,7 +185,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
 
   private def readManifest(name: String): BucketManifest =
     manifestCache.computeIfAbsent(name, n => {
-      val node = mapper.readTree(Files.readString(manifestsDir.resolve(n)))
+      val node = mapper.readTree(LakeTable.readStringRaw(manifestsDir.resolve(n)))
       def arr(f: String): Seq[String] = Option(node.get(f))
         .map(_.asInstanceOf[ArrayNode].asScala.map(_.asText).toSeq).getOrElse(Nil)
       BucketManifest(arr("files"), arr("deltas"), readRangeMap(node, "ranges"))
@@ -217,12 +223,12 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     }
     // visible to readers only once a committed snapshot references it (the
     // pointer flip is the publication barrier), so a plain write suffices
-    Files.writeString(manifestsDir.resolve(name), mapper.writeValueAsString(node))
+    LakeTable.writeStringRaw(manifestsDir.resolve(name), mapper.writeValueAsString(node))
     manifestCache.put(name, m)
   }
 
   private def readSnapshot(p: Path): Snapshot = {
-    val node = mapper.readTree(Files.readString(p))
+    val node = mapper.readTree(LakeTable.readStringRaw(p))
     val schema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
     val nb = Option(node.get("numBuckets")).map(_.asInt).getOrElse(numBuckets)
     val weights = Option(node.get("bucketWeights")).map(_.asInstanceOf[ObjectNode]
@@ -312,16 +318,17 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
     val name = f"v${s.version}%08d.json"
     val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     val tmpSnap = snapsDir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmpSnap, body)
+    LakeTable.writeStringRaw(tmpSnap, body)
     try Files.createLink(snapsDir.resolve(name), tmpSnap)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"snapshot version ${s.version} already committed by another writer", e)
     } finally Files.deleteIfExists(tmpSnap)
+    testMidCommitHook() // seam: the worst interrupt/crash window (specs)
     // atomic pointer flip: tmp + ATOMIC_MOVE (SURVEY.md §7.4 risk 1)
     val tmp = rootPath.resolve(s"_latest.tmp.${UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, name)
+    LakeTable.writeStringRaw(tmp, name)
     Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     cachedSnap = (name, s.copy(manifestNames = manifestNames2))
     pruneManifestCache(manifestNames2.values.toSet, s.numBuckets)
@@ -1084,7 +1091,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   def expireSnapshots(keep: Int = 2, graceMs: Long = 10 * 60 * 1000L): Unit =
     commitLock.synchronized {
       require(keep >= 1, "must keep at least the current snapshot")
-      val current = Files.readString(latestPtr).trim
+      val current = LakeTable.readStringRaw(latestPtr).trim
       val all = listed(snapsDir)
         .filter(_.getFileName.toString.endsWith(".json"))
         .sortBy(_.getFileName.toString)
@@ -1158,7 +1165,7 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
   def flushLineage(): Unit = synchronized {
     if (lineageBuf.nonEmpty) {
       val f = rootPath.resolve(s"lineage/lineage-${UUID.randomUUID().toString.take(12)}.jsonl")
-      Files.writeString(f, lineageBuf.mkString("", "\n", "\n"))
+      LakeTable.writeStringRaw(f, lineageBuf.mkString("", "\n", "\n"))
       lineageBuf.clear()
     }
     lineageBatches = 0
@@ -1266,6 +1273,26 @@ object LakeTable {
 
   private val mapper = new ObjectMapper()
   val metaColNames: Set[String] = Set("_lsn", "_op", "_bucket")
+
+  /** Interrupt-immune small-file IO for the COMMIT path. `Files.writeString`
+    * / `Files.readString` go through an InterruptibleChannel, so a
+    * `Thread.interrupt()` (e.g. a pool `shutdownNow` during a pipelined
+    * abort) landing mid-commit aborts the critical section halfway — in the
+    * worst window (snapshot CAS-linked, pointer not yet flipped) the table
+    * is WEDGED for every later committer (EEXIST on the next commit of that
+    * version). Plain FileInput/OutputStream syscalls are not interruptible:
+    * the interrupt flag stays pending, the commit completes atomically, and
+    * the interrupted thread observes its interrupt afterwards. */
+  private[lake] def writeStringRaw(p: Path, s: String): Unit = {
+    val out = new java.io.FileOutputStream(p.toFile)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  private[lake] def readStringRaw(p: Path): String = {
+    val in = new java.io.FileInputStream(p.toFile)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
   /** Unsigned UTF-8 byte order — the collation of parquet string min/max
     * statistics (and of Spark's binary comparisons). */

@@ -84,14 +84,52 @@ object GraftShim {
   }
 
   /** All batches the file-stream source has planned, from `fromBatchId` on:
-    * (batchId, files) in batch order. */
+    * (batchId, files) in batch order.
+    *
+    * Deliberately avoids `FileStreamSourceLog.get(start, end)`: that range
+    * API throws `IllegalStateException("batch N doesn't exist")` whenever
+    * the range starts below the earliest RETAINED batch file — which
+    * happens on a fresh checkpoint (empty log) and, fatally, after the
+    * source log COMPACTS and expires old batch files (a months-long
+    * stream's steady state). The round-5 exactly-once flake was exactly
+    * this: recovery asked for the full range, the range API threw, and the
+    * caller had no way to tell "empty journal" from "journal entries
+    * expired into a compact file". Per-id `get` never throws (None for a
+    * missing file), and every expired batch's entries live, tagged with
+    * their original batchId, in the nearest compact file at or above it —
+    * so this walk reconstructs the exact plan history regardless of
+    * compaction state, and fails LOUDLY only when an id is genuinely
+    * unrecoverable. */
   def sourceLogBatches(spark: SparkSession, checkpointRoot: String,
       fromBatchId: Long): Seq[(Long, Seq[String])] = {
     import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
     val dir = s"$checkpointRoot/sources/0"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    val ids = names.flatMap(n =>
+      scala.util.Try(n.stripSuffix(".compact").toLong).toOption)
+    if (ids.isEmpty) return Nil
+    val latestId = ids.max
+    val compactIds = names.filter(_.endsWith(".compact"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".compact").toLong).toOption)
+      .sorted
     val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION, spark, dir)
-    log.get(Some(fromBatchId), None).toSeq.map { case (id, entries) =>
+    // cache compact reads: one compact file can back many expired ids
+    val compactCache = scala.collection.mutable.Map[Long, Array[
+      org.apache.spark.sql.execution.streaming.runtime.FileStreamSource.FileEntry]]()
+    (math.max(0L, fromBatchId) to latestId).map { id =>
+      val entries = log.get(id).orElse {
+        compactIds.find(_ >= id).map { c =>
+          compactCache.getOrElseUpdate(c, log.get(c).getOrElse(
+            sys.error(s"source log compact batch $c listed but unreadable under $dir")))
+        }
+      }.getOrElse(sys.error(
+        s"source log batch $id is above the recovery watermark but no " +
+          s"batch file or compact file covers it under $dir"))
       id -> entries.filter(_.batchId == id).map(_.path).toSeq
-    }.sortBy(_._1)
+    }
   }
 }
