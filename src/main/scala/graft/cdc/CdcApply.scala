@@ -128,10 +128,20 @@ object CdcApply {
   def lwwDedup(df: DataFrame, keyCols: Seq[String], saltBuckets: Int): DataFrame = {
     val valueCols = df.columns.toSeq
     val key = keyCols.map(col)
+    // One exchange + ONE sort + native keep-first filter per stage. The
+    // former `groupBy(max_by(struct(...)))` planned as SortAggregate —
+    // string-typed aggregation buffers are not hash-aggregable — i.e. a
+    // map-side sort, the exchange, AND a reduce-side sort, plus the
+    // struct build/unwrap per row; the sorted form pays one sort and
+    // streams through whole-stage codegen (A/B'd in the round-6 probe:
+    // 0.34–0.45 s vs 0.5–2.2 s per 400k-row batch). Ties on (key, _lsn)
+    // are immaterial by the CDC contract (an LSN redelivery carries an
+    // identical payload).
     def reduceOnce(d: DataFrame, groupCols: Seq[Column]): DataFrame =
-      d.groupBy(groupCols: _*)
-        .agg(max_by(struct(valueCols.map(col): _*), col("_lsn")).as("r"))
-        .select(valueCols.map(n => col(s"r.$n").as(n)): _*)
+      d.repartition(groupCols: _*)
+        .sortWithinPartitions(groupCols.map(_.asc) :+ col("_lsn").desc: _*)
+        .filter(graft.functions.KeepFirst.keep_first_of_run(groupCols: _*))
+        .select(valueCols.map(col): _*)
     if (saltBuckets > 1) {
       val salted = df.withColumn("_salt", pmod(xxhash64(col("_lsn")), lit(saltBuckets)))
       reduceOnce(reduceOnce(salted, key :+ col("_salt")), key)
@@ -150,9 +160,6 @@ object CdcApply {
   def lwwDedupSorted(df: DataFrame, keyCols: Seq[String],
       partitionExprs: Seq[Column], numPartitions: Int,
       byRange: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    val schema = df.schema
-    val keyIdx = keyCols.map(schema.fieldIndex)
     // byRange: RANGE-partition on (partitionExprs, keyCols) instead of
     // hash — each output partition (and so each written file) covers a
     // CONTIGUOUS key interval, which is what makes per-file min/max
@@ -170,24 +177,15 @@ object CdcApply {
     val shuffled = shuffled0
       .sortWithinPartitions(
         partitionExprs.map(_.asc) ++ keyCols.map(col(_).asc) :+ col("_lsn").desc: _*)
-    shuffled.mapPartitions { rows =>
-      new Iterator[Row] {
-        private var nextRow: Row = _
-        private var lastKey: Seq[Any] = null
-        private val it = rows
-        advance()
-        private def advance(): Unit = {
-          nextRow = null
-          while (nextRow == null && it.hasNext) {
-            val r = it.next()
-            val k = keyIdx.map(r.get)
-            if (k != lastKey) { lastKey = k; nextRow = r }
-          }
-        }
-        override def hasNext: Boolean = nextRow != null
-        override def next(): Row = { val r = nextRow; advance(); r }
-      }
-    }(Encoders.row(schema))
+    // keep-first as a native stateful predicate: the stream stays inside
+    // whole-stage codegen end to end (exchange → sort → filter → write) and
+    // only the key columns are inspected. The former mapPartitions over
+    // external Row objects decoded and re-encoded EVERY column of EVERY
+    // row — a full Tungsten round trip on the hottest CDC path. The
+    // expression is Nondeterministic (order-dependent state), so the
+    // optimizer cannot push it below the run-establishing sort.
+    shuffled.filter(
+      graft.functions.KeepFirst.keep_first_of_run(keyCols.map(col): _*))
   }
 
   /** Append invalid rows to the batch-scoped dead-letter partition. */

@@ -205,7 +205,11 @@ object CdcStream {
         catch { case e: Throwable if isCancellation(e) => sawCancel = true }
       }
     }
-    if (sawCancel) CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
+    // unconditional: besides the cancellation path, the source may have
+    // journaled one final batch the stopping query never executed (see
+    // runOnce's post-termination sweep) — recovery is a cheap no-op when
+    // the journal and watermark agree
+    CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
     TailRun(restarts, lastData, deadMs)
   }
 
@@ -291,5 +295,16 @@ object CdcStream {
       table.awaitMaintenance() // settle background compaction debt
       table.flushLineage() // lineage is buffered per flush window; drain at end
     }
+    // Post-termination journal sweep. The file source can JOURNAL one more
+    // batch (sources/0/N written inside its final latestOffset) that the
+    // terminating AvailableNow query never executes — observed as a clean
+    // termination with the journal one batch ahead of the table watermark,
+    // i.e. the round-5 "missing high-LSN winners" flake: the LAST batch's
+    // events silently absent until some future restart re-delivers them.
+    // The journal contract already covers this exact shape ("every
+    // source-log batch above the watermark is applied at (re)start"), so
+    // run the recovery sweep at TERMINATION too: a no-op on the common
+    // path, and it synchronously applies any planned-but-unrun tail batch.
+    CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
   }
 }

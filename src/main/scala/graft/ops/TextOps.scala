@@ -119,39 +119,58 @@ object TextOps {
       .agg(min_by(struct(col(idCol), col(textCol)), col(idCol)).as("_r"))
       .select(col(s"_r.$idCol").as(idCol), col(s"_r.$textCol").as(textCol))
 
-  /** Guard against LSH mega-buckets: a bucket holding m near-identical
-    * docs yields O(m²) candidate pairs — a planted cluster of 10^5 exact
-    * duplicates would explode the self-join. Groups larger than `cap` are
-    * dropped (their members are exact-dup-shaped work — [[exactDedup]] is
-    * the right operator for them); the anti-join side is tiny (only
-    * oversized groups) and broadcasts. */
-  private[ops] def dropMegaBuckets(banded: DataFrame, groupCols: Seq[String],
-      cap: Int): DataFrame =
-    if (cap <= 0) banded
-    else {
-      val over = banded.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("_n")).filter(col("_n") > cap).drop("_n")
-      banded.join(broadcast(over), groupCols, "left_anti")
-    }
+  /** In-bucket pair expansion shared by the near-dup candidate generators:
+    * group the exploded (bucket-key..., member) stream ONCE per bucket,
+    * sort the member list (determinism + ascending pair order), drop
+    * oversized buckets (mega-bucket guard: a bucket holding m
+    * near-identical docs yields O(m²) pairs — a planted cluster of 10^5
+    * exact duplicates would explode any pairing strategy; their members
+    * are exact-dup-shaped work for [[exactDedup]]; `cap <= 0` disables),
+    * then emit all ordered pairs via posexplode + slice — no giant
+    * pair array is ever materialized per bucket row.
+    *
+    * This replaces the former band SELF-JOIN, which re-executed the
+    * banding expression (the dominant per-row cost: minhash = shingles ×
+    * bands × rows hash evaluations) once per join side — and a third time
+    * in the guard's count pass. One aggregation keyed exactly like the
+    * old join computes the bands ONCE, integrates the guard for free, and
+    * shuffles only (bucket-key, member) — at cluster scale it also
+    * removes the broadcast of the full banded stream that the self-join
+    * needed. Output: one `_pair` struct column of the two members, each
+    * ordered pair exactly once (ascending by the struct order). */
+  private[ops] def bucketPairs(banded: DataFrame, groupCols: Seq[String],
+      memberCol: Column, cap: Int): DataFrame = {
+    val sizeOk =
+      if (cap <= 0) size(col("_ms")) >= 2
+      else size(col("_ms")).between(2, cap)
+    banded
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(memberCol)).as("_ms"))
+      .filter(sizeOk)
+      .select(posexplode(col("_ms")).as(Seq("_i", "_a")), col("_ms"))
+      // members after position _i (0-based) = 1-based slice from _i + 2;
+      // length size(_ms) over-asks and slice clamps to the tail
+      .select(col("_a"),
+        explode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms")))).as("_b"))
+      .select(struct(col("_a"), col("_b")).as("_pair"))
+  }
 
   /** MinHash-LSH near-dup candidate pairs: signature → `bands` bands of
-    * `rows` hashes → explode → self-join per (band, bucket) → distinct
-    * pairs. Returns (id_a, id_b) with id_a < id_b. Buckets larger than
-    * `maxBucketSize` are skipped (see [[dropMegaBuckets]]). */
+    * `rows` hashes → explode → per-(band, bucket) pair expansion →
+    * distinct pairs. Returns (id_a, id_b) with id_a < id_b. Buckets larger
+    * than `maxBucketSize` are skipped (see [[bucketPairs]]). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
       seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
     // band buckets computed in one native pass (no n-long signature array
-    // materialized per row, no HOF slice+hash chain)
+    // materialized per row, no HOF slice+hash chain) — and only ONCE:
+    // pair expansion happens inside the bucket aggregation, so the band
+    // expression is never re-executed for a second join side
     val banded0 = df.select(col(idCol).as("id"), posexplode(
         minhash_bands(col(textCol), shingleK, bands, rowsPerBand, seed)))
       .toDF("id", "band", "bucket")
-    val banded = dropMegaBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    bucketPairs(banded0, Seq("band", "bucket"), col("id"), maxBucketSize)
+      .select(col("_pair._a").as("id_a"), col("_pair._b").as("id_b"))
       .distinct()
   }
 
@@ -212,12 +231,12 @@ object TextOps {
     val sh = df.select(col(idCol).as("id"), simhash64(col(textCol), seed).as("sh"))
     val chunked0 = sh.select(col("id"), col("sh"), posexplode(array(chunkCols: _*)))
       .toDF("id", "sh", "chunk", "chunkVal")
-    val chunked = dropMegaBuckets(chunked0, Seq("chunk", "chunkVal"), maxBucketSize)
-    val a = chunked.as("a"); val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") &&
-        col("a.chunkVal") === col("b.chunkVal") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    // members carry (id, sh) so verification needs no join back; the
+    // struct sorts by id first, so pair order is ascending by id
+    bucketPairs(chunked0, Seq("chunk", "chunkVal"),
+        struct(col("id"), col("sh")), maxBucketSize)
+      .select(col("_pair._a.id").as("id_a"), col("_pair._b.id").as("id_b"),
+        col("_pair._a.sh").as("sh_a"), col("_pair._b.sh").as("sh_b"))
       .distinct()
       .withColumn("dist", graft.functions.TextFunctions.hamming64(col("sh_a"), col("sh_b")))
       .filter(col("dist") <= maxDist)

@@ -173,7 +173,7 @@ object VectorOps {
     * only engineered quantity.
     *
     * Buckets larger than `maxBucketSize` are dropped (mega-cluster guard,
-    * [[TextOps.dropMegaBuckets]]): a planted cluster of 10^5 identical
+    * [[TextOps.bucketPairs]]): a planted cluster of 10^5 identical
     * embeddings is O(10^10) candidate pairs without it. Pass 0 to disable.
     * Vectors do NOT ride through the band explode — candidates are distinct
     * id pairs joined back to the vectors, so the exploded exchange carries
@@ -185,12 +185,11 @@ object VectorOps {
     val banded0 = vecs
       .select(col("id"), posexplode(sign_lsh_bands(col("v"), bands, bitsPerBand, seed)))
       .toDF("id", "band", "bucket")
-    val banded = TextOps.dropMegaBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
-    val a = banded.as("a"); val b = banded.as("b")
-    val cands = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // per-bucket pair expansion: the banding expression executes ONCE (the
+    // former band self-join re-ran it per side) — see TextOps.bucketPairs
+    val cands = TextOps.bucketPairs(banded0, Seq("band", "bucket"),
+        col("id"), maxBucketSize)
+      .select(col("_pair._a").as("id_a"), col("_pair._b").as("id_b"))
       .distinct()
     cands
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")

@@ -61,6 +61,16 @@ object GraftShim {
     classic.Dataset.ofRows(cs, LogicalRelation(relation, isStreaming = true))
   }
 
+  /** Release the storage behind a `localCheckpoint()`ed DataFrame — the
+    * checkpoint persists an RDD[InternalRow] that is not registered with
+    * the CacheManager, so `Dataset.unpersist` cannot reach it
+    * (`LogicalRDD` is `private[sql]`, hence this in-package helper). */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** The file-stream source's durable per-batch file manifest
     * (`<checkpoint>/sources/0`), written by the source BEFORE a batch's
     * foreachBatch runs — the recovery journal of the pipelined streaming

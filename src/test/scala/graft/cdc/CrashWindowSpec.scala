@@ -163,7 +163,24 @@ class CrashWindowSpec extends SparkSpec {
         r.getInt(4), r.getString(5), r.getString(6), Option(r.getString(7)))
     }
     val expect = Oracle.finalState(events).map { case (k, e) => k -> ((e.role, e.text)) }
-    assert(finalStateOf(table) == expect, "state after held-writes abort + restart")
+    if (finalStateOf(table) != expect) {
+      // forensic dump: which journaled batch went missing or applied empty
+      val metrics = table.ingestMetrics().collect()
+        .map(r => r.getLong(r.fieldIndex("batch_id")) ->
+          r.getLong(r.fieldIndex("events"))).toMap
+      val journal = org.apache.spark.sql.GraftShim.sourceLogBatches(spark, ckDir, 0L)
+      val lines = journal.map { case (id, fs) =>
+        val expectRows = CdcApply.lwwDedup(
+          CdcApply.prepareBatch(
+            spark.read.schema(Model.changeEventSchema).parquet(fs: _*)),
+          Model.keyCols, 1).count()
+        s"batch $id files=${fs.size} expectRows=$expectRows metricRows=${metrics.get(id)}"
+      }
+      fail(s"state after held-writes abort + restart diverged; " +
+        s"watermark=${table.currentSnapshot.appliedWatermark} " +
+        s"exceptions=${table.currentSnapshot.appliedExceptions}\n" +
+        lines.mkString("\n"))
+    }
     val applied = table.currentSnapshot.appliedBatchIds
     assert(applied.size == applied.toSeq.distinct.size, "no double apply")
   }

@@ -78,4 +78,26 @@ class PropertySpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getInt(1)), r.getString(3))).toMap
     assert(got == expect)
   }
+
+  test("lwwDedupSorted ≡ groupBy max_by, and runs WITHOUT an object-codec boundary") {
+    import org.apache.spark.sql.functions._
+    val rows = randomEvents(99L, 2000)
+    val df = CdcApply.prepareBatch(toDf(rows))
+      .withColumn("_bucket", pmod(xxhash64(col("conv_id"), lit(42)), lit(4)).cast("int"))
+    val expect = CdcApply.lwwDedup(df, Model.keyCols, 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(6)).toMap
+    for (byRange <- Seq(false, true)) {
+      val sorted = CdcApply.lwwDedupSorted(df, Model.keyCols, Seq(col("_bucket")), 4,
+        byRange = byRange)
+      val got = sorted.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(6)).toMap
+      assert(got == expect, s"byRange=$byRange: keep-first must pick the max-lsn row per key")
+      // the round-6 optimization: keep-first is a native codegen'd filter,
+      // not a mapPartitions over external Rows — no object codec boundary
+      val nodes = org.apache.spark.sql.GraftShim.livePhysicalNodeNames(sorted)
+      assert(!nodes.exists(n => n.contains("SerializeFromObject") ||
+        n.contains("DeserializeToObject") || n.contains("MapPartitions")),
+        s"no object-codec boundary expected, plan nodes: $nodes")
+      assert(nodes.exists(_.contains("Filter")), s"keep-first filter present: $nodes")
+    }
+  }
 }

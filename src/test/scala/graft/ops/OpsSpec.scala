@@ -198,6 +198,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L)._2 == "de")
     assert(got(1L)._2 == "en")
   }
+
+  test("CC propagation runs ONE action per round (change count folded into the round job)") {
+    // chain 1–3, 2–3: labels converge in 3 rounds (two propagation rounds
+    // + the no-change detection round). Per-round cost contract: exactly
+    // one action — the aggregate that both materializes the round's label
+    // cache and returns the change count (the former shape ran a second
+    // join+count action against the previous labels every round).
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val losers =
+      try {
+        val l = CurationPipeline.connectedLosers(pairs)
+        org.apache.spark.sql.GraftShim.waitListenerBusEmpty(spark)
+        l
+      } finally spark.listenerManager.unregister(listener)
+    assert(losers.select("doc_id").as[Long].collect().toSet == Set(2L, 3L),
+      "component minimum 1 survives; 2 and 3 lose")
+    losers.unpersist(false)
+    // budget: ≤ 1 (checkpoint) + 3 (rounds) + 1 (losers materialize) + 1 slack
+    assert(actions.get() <= 6,
+      s"one action per propagation round expected, observed ${actions.get()}")
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
