@@ -103,7 +103,7 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
     * compact/schema commits ride along for free and never form an empty
     * batch of their own), so a single oversized commit is admitted alone —
     * it can't be split, offsets are commit-aligned. Counts come from
-    * [[LakeTable.changeRowsByVersion]] footer sums, cached per version and
+    * [[LakeTable.changeInfoByVersion]] footer sums, cached per version and
     * prefetched `rowWalkChunk` versions at a time so a far-behind consumer
     * doesn't pay one history walk per admission step. A walk error
     * (CoW/legacy commit) past the FIRST row-carrying version closes the
@@ -117,7 +117,19 @@ class ChangeFeedSource(spark: SparkSession, table: LakeTable,
     while (v < hardEnd) {
       val r =
         try infoOf(v + 1, hardEnd)._1
-        catch { case _: Exception if rows > 0 => return v }
+        catch {
+          // early window closure is only the INTENDED behavior for the
+          // walk's own error shapes (CoW/legacy commit ahead); a transient
+          // infrastructure error (footer IO) must not be silently folded
+          // into a shorter window, so say which error closed it
+          case scala.util.control.NonFatal(e) if rows > 0 =>
+            System.err.println(s"[graft-changes] row admission stopped at " +
+              s"version $v: walking v${v + 1} failed " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); delivering " +
+              "the window admitted so far — the error re-fires loudly if " +
+              s"v${v + 1} heads the next window")
+            return v
+        }
       if (rows > 0 && rows + r > cap) return v
       v += 1; rows += r
     }
@@ -223,6 +235,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val table = openTable(spark, parameters)
+    val explicitStart = parameters.get("startingVersion").exists(_ != "latest")
     val requested = parameters.get("startingVersion") match {
       case None | Some("latest") => table.currentVersion
       case Some(v) =>
@@ -240,7 +253,8 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     // original events silently dropped. First creation persists the
     // resolution under the source's own checkpoint directory; every later
     // creation reuses it verbatim.
-    val starting = persistedStartingVersion(spark, metadataPath, requested)
+    val starting = persistedStartingVersion(spark, metadataPath, requested,
+      warnOnConflict = explicitStart)
     def positiveLong(name: String): Option[Long] = parameters.get(name).map { v =>
       val n = try v.trim.toLong catch { case _: NumberFormatException =>
         sys.error(s"graft-changes: $name must be a positive number, got '$v'") }
@@ -269,7 +283,8 @@ object ChangeFeedSourceProvider {
     * been planned yet (the engine creates the source before its first
     * `latestOffset`). */
   private[streaming] def persistedStartingVersion(spark: SparkSession,
-      metadataPath: String, requested: Long): Long = {
+      metadataPath: String, requested: Long,
+      warnOnConflict: Boolean = true): Long = {
     val dir = new org.apache.hadoop.fs.Path(metadataPath)
     val file = new org.apache.hadoop.fs.Path(dir, "starting-version")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -277,7 +292,11 @@ object ChangeFeedSourceProvider {
       val in = fs.open(file)
       val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
-      if (v != requested)
+      // with `startingVersion=latest` the freshly resolved value differs
+      // from the persisted one on virtually every restart (the table
+      // advanced) — that is the EXPECTED steady state, not a conflict, so
+      // only an explicit numeric request that disagrees gets the warning
+      if (v != requested && warnOnConflict)
         System.err.println(s"[graft-changes] using persisted startingVersion $v " +
           s"from $file (this run resolved $requested; the checkpointed start wins)")
       v
@@ -290,9 +309,13 @@ object ChangeFeedSourceProvider {
       val out = fs.create(tmp, false)
       try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
       if (fs.rename(tmp, file)) requested
-      else { // lost a (same-checkpoint) creation race — the winner's value rules
+      else if (fs.exists(file)) { // lost a creation race — the winner rules
         fs.delete(tmp, false)
         readBack()
+      } else { // not a race: the rename itself failed — surface it, don't
+        fs.delete(tmp, false) // mask it as a FileNotFound inside readBack
+        sys.error(s"graft-changes: failed to persist startingVersion to $file " +
+          "(rename failed and no concurrent creation exists)")
       }
     }
   }
