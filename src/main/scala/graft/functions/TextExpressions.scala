@@ -168,8 +168,83 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Array[Double]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** Single-pass whitespace token count (see [[TextStats]] — replaces the
+  * CodegenFallback HOF chain size(filter(split(...)))). */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextStats.tokenCount(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.tokenCount($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TokenCountExpr = copy(child = c)
+  override def prettyName: String = "token_count"
+}
+
+/** Single-pass BPE-ish subword count: sum of ceil(tokenLen/4). */
+case class BpeishTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextStats.bpeishTokenCount(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.bpeishTokenCount($c.toString())")
+  override protected def withNewChildInternal(c: Expression): BpeishTokenCountExpr = copy(child = c)
+  override def prettyName: String = "bpeish_token_count"
+}
+
+/** Single-pass count of tokens matching a fixed word list (the word array
+  * rides into codegen as a reference object). */
+case class StopwordCountExpr(child: Expression, words: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextStats.stopwordCount(v.asInstanceOf[UTF8String].toString, words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("graftStopwords", words, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.stopwordCount($c.toString(), $w)")
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordCountExpr = copy(child = c)
+  override def prettyName: String = "stopword_count"
+}
+
+/** Single-pass language id: argmax of per-language stopword hits, first
+  * max wins, "und" on all-zero — one tokenization pass for every list. */
+case class LangIdExpr(child: Expression, langs: Array[String],
+    lists: Array[Array[String]]) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextStats.langId(v.asInstanceOf[UTF8String].toString, langs, lists)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("graftLangs", langs, "java.lang.String[]")
+    val w = ctx.addReferenceObj("graftLangLists", lists, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.langId($c.toString(), $l, $w)")
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
+  override def prettyName: String = "lang_id"
+}
+
+/** The token array (== filter(split(s, "\\s+"), _ != "")) without the
+  * interpreted HOF filter — feeds vocabulary's explode. */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextStats.tokens(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.tokens($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TokensExpr = copy(child = c)
+  override def prettyName: String = "tokens_of"
+}
+
 /** Column-level API. */
 object TextFunctions {
+  def token_count(c: Column): Column = EU.column(TokenCountExpr(EU.expression(c)))
+  def bpeish_token_count(c: Column): Column =
+    EU.column(BpeishTokenCountExpr(EU.expression(c)))
+  def stopword_count(c: Column, words: Seq[String]): Column =
+    EU.column(StopwordCountExpr(EU.expression(c), words.toArray))
+  def lang_id(c: Column, langs: Seq[(String, Seq[String])]): Column =
+    EU.column(LangIdExpr(EU.expression(c), langs.map(_._1).toArray,
+      langs.map(_._2.toArray).toArray))
+  def tokens_of(c: Column): Column = EU.column(TokensExpr(EU.expression(c)))
   def minhash_sig(c: Column, k: Int = 5, n: Int = 128, seed: Long = 42L): Column =
     EU.column(MinHashSigExpr(EU.expression(c), k, n, seed))
   def minhash_bands(c: Column, k: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,

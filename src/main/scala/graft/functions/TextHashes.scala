@@ -193,22 +193,30 @@ object TextHashes {
   }
 
   /** Character k-shingle set as sorted distinct hashes — used for exact
-    * n-gram Jaccard verification of near-dup candidates. */
+    * n-gram Jaccard verification of near-dup candidates. Primitive
+    * buffer + sort + in-place dedupe: the former TreeSet[java.lang.Long]
+    * boxed every shingle hash and paid a red-black rebalance per insert —
+    * on the verify path that allocation ran once per corpus document per
+    * join side. Output is identical (sorted distinct). */
   def shingleHashes(text: String, k: Int, seed: Long): ArrayData = {
     val len = text.length
     val effK = math.min(k, math.max(1, len))
     val last = math.max(0, len - effK)
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val buf = new Array[Long](last + 1)
     var pos = 0
     while (pos <= last) {
       // empty-string clamp — see minHashSig
-      set.add(hashRange(text, pos, math.min(pos + effK, len), seed))
+      buf(pos) = hashRange(text, pos, math.min(pos + effK, len), seed)
       pos += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    java.util.Arrays.sort(buf)
+    var n = 0
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    while (i < buf.length) {
+      if (n == 0 || buf(i) != buf(n - 1)) { buf(n) = buf(i); n += 1 }
+      i += 1
+    }
+    val out = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
     new GenericArrayData(out)
   }
 }

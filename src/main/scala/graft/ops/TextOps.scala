@@ -19,22 +19,26 @@ object TextOps {
   // ---- text analysis (SQL-mirrorable: integer/boolean outputs only, so
   // the DuckDB oracle compares exactly — no float-rounding hazards) ------
 
+  // All token operators are SINGLE-PASS NATIVE expressions
+  // ([[graft.functions.TextStats]]): the former HOF compositions
+  // (size(filter(split(...))), aggregate(...)) are CodegenFallback in
+  // Spark — an interpreted per-element lambda walk plus a materialized
+  // token array per document per expression — and the quality+language
+  // gate stack dominated the curation funnel's first job (round-6 probe:
+  // ~2.5 s per corpus pass vs ~0.12 s for the scan). Token semantics are
+  // unchanged (Java-regex \s runs; exact oracle parity).
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= ""))
+  def tokenCount(text: Column): Column = token_count(text)
 
   /** A BPE-ish subword proxy: count of character 4-grams per token summed,
     * i.e. ceil(len/4) per token — integer arithmetic only. */
-  def bpeishTokenCount(text: Column): Column =
-    aggregate(
-      filter(split(text, "\\s+"), t => t =!= ""),
-      lit(0),
-      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("int"))
+  def bpeishTokenCount(text: Column): Column = bpeish_token_count(text)
 
   /** Stopword hit count for a language's stopword list (exact token
     * matches). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(split(text, "\\s+"), t => t.isin(stopwords.map(lit): _*)))
+    stopword_count(text, stopwords)
 
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
@@ -43,18 +47,10 @@ object TextOps {
     "es" -> Seq("el", "la", "y", "es", "un", "una"))
 
   /** N-gram-heuristic language id: argmax of per-language stopword hits,
-    * ties broken by list order, "und" (undetermined) when all zero. */
-  def langId(text: Column): Column = {
-    val toks = filter(split(text, "\\s+"), t => t =!= "")
-    val counts: Seq[(String, Column)] = langStopwords.map { case (lang, sw) =>
-      lang -> size(filter(toks, t => t.isin(sw.map(lit): _*)))
-    }
-    val init: (Column, Column) = (lit(counts.head._1), counts.head._2)
-    val best = counts.tail.foldLeft(init) { case ((bl, bc), (lang, c)) =>
-      (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
-  }
+    * ties broken by list order, "und" (undetermined) when all zero —
+    * one tokenization pass for ALL language lists (the former fold of
+    * when-chains re-embedded every count subtree per comparison). */
+  def langId(text: Column): Column = lang_id(text, langStopwords)
 
   /** Quality signals, all integers/booleans: char count, token count,
     * max token length, stopword hits; `quality_ok` = document passes the
@@ -74,7 +70,7 @@ object TextOps {
     * whitespace tokens. One explode + one aggregation; the classic
     * vocabulary/BPE-seed pass of a training-data pipeline. */
   def vocabulary(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(filter(split(col(textCol), "\\s+"), t => t =!= "")).as("term"))
+    df.select(explode(tokens_of(col(textCol))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("occurrences"))
 

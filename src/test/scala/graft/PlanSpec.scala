@@ -64,17 +64,23 @@ class PlanSpec extends SparkSpec {
     assert(!opt.contains("concat"), s"constants not folded:\n$opt")
   }
 
-  test("LWW dedup uses partial aggregation (map-side combine before shuffle)") {
+  test("LWW dedup: one exchange + one sort + codegen'd keep-first, no SortAggregate") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("user_id"), col("event_id").as("_lsn"), col("event_type"))
     val out = graft.cdc.CdcApply.lwwDedup(ev, Seq("user_id"), saltBuckets = 1)
     val plan = out.queryExecution.executedPlan.toString
-    // map-side combine: a partial max_by must run BEFORE the exchange so
-    // duplicate keys collapse locally (max_by's struct buffer forces
-    // SortAggregate rather than HashAggregate — the partial stage is what
-    // bounds the shuffle volume at scale)
-    assert(plan.contains("partial_max_by"), plan)
+    // round-6 shape: the former groupBy(max_by(struct)) planned as
+    // SortAggregate (string buffers are not hash-aggregable) — a map-side
+    // sort, the exchange, AND a reduce-side sort. Now: repartition by key,
+    // ONE sort, and the native keep-first-of-run filter — everything after
+    // the exchange streams through whole-stage codegen with no aggregation
+    // buffers and no object-codec boundary.
     assert(plan.contains("Exchange hashpartitioning(user_id"), plan)
+    assert(plan.contains("keep_first_of_run"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("mapPartitions"), plan)
+    assert(plan.split("\\bSort \\[").length - 1 == 1,
+      s"exactly one sort expected:\n$plan")
   }
 
   test("salted top-k-per-group: ≡ naive window, stage-1 parallelism > #groups") {
