@@ -109,10 +109,32 @@ object MetaBench {
       val ms = (System.nanoTime() - t0) / 1e6
       f""""w$w":$ms%.0f"""
     }
+    // snapshot/manifest expiry at depth (round-5 verdict item 7): expire
+    // the full numCommits-deep snapshot history down to keep=4 and time
+    // it. Every fabricated data file is still referenced by the retained
+    // snapshots (deltas only accumulate here), so the measurement isolates
+    // METADATA expiry — snapshot JSONs + unreferenced manifests — at
+    // 10^4-commit depth. A second call right after shows the settled cost
+    // (nothing left to expire beyond the newest commits' churn).
+    def countFiles(sub: String): Long = {
+      val p = java.nio.file.Paths.get(dir, sub)
+      if (!java.nio.file.Files.exists(p)) return 0L
+      val st = java.nio.file.Files.list(p)
+      try { import scala.jdk.CollectionConverters._; st.iterator().asScala.size.toLong }
+      finally st.close()
+    }
+    val snapsBefore = countFiles("snapshots"); val manifestsBefore = countFiles("manifests")
+    val t0e = System.nanoTime()
+    table.expireSnapshots(keep = 4, graceMs = 0L)
+    val expireMs = (System.nanoTime() - t0e) / 1e6
+    val t1e = System.nanoTime()
+    table.expireSnapshots(keep = 4, graceMs = 0L)
+    val expireSettledMs = (System.nanoTime() - t1e) / 1e6
+    val snapsAfter = countFiles("snapshots"); val manifestsAfter = countFiles("manifests")
     // growth ratio of the per-commit write volume across a 10x table-size
     // increase; inline grows ~linearly (ratio ≈ 10), manifests stay O(touched)
     val line =
-      f"""{"bench":"meta","commits":$numCommits,"buckets":$numBuckets,"touched_per_commit":$touched,"total_files":$totalFiles,"windows":[${rows.mkString(",")}],"manifest_growth_ratio":${lastPerCommit / math.max(1.0, firstPerCommit)}%.2f,"inline_growth_ratio":${lastInline / math.max(1.0, firstInline)}%.2f,"final_meta_bytes_per_commit":$lastPerCommit%.0f,"final_inline_equiv_bytes_per_commit":$lastInline%.0f,"changefeed_walk_ms":{${walks.mkString(",")}}}"""
+      f"""{"bench":"meta","commits":$numCommits,"buckets":$numBuckets,"touched_per_commit":$touched,"total_files":$totalFiles,"windows":[${rows.mkString(",")}],"manifest_growth_ratio":${lastPerCommit / math.max(1.0, firstPerCommit)}%.2f,"inline_growth_ratio":${lastInline / math.max(1.0, firstInline)}%.2f,"final_meta_bytes_per_commit":$lastPerCommit%.0f,"final_inline_equiv_bytes_per_commit":$lastInline%.0f,"changefeed_walk_ms":{${walks.mkString(",")}},"expire_10k_ms":$expireMs%.0f,"expire_settled_ms":$expireSettledMs%.0f,"snapshots_expired":${snapsBefore - snapsAfter},"manifests_expired":${manifestsBefore - manifestsAfter}}"""
     println(line)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
