@@ -136,7 +136,14 @@ object CdcApply {
     // streams through whole-stage codegen (A/B'd in the round-6 probe:
     // 0.34–0.45 s vs 0.5–2.2 s per 400k-row batch). Ties on (key, _lsn)
     // are immaterial by the CDC contract (an LSN redelivery carries an
-    // identical payload).
+    // identical payload). TRADE, stated honestly: the SortAggregate shape
+    // collapsed duplicate keys map-side (shuffle ∝ distinct keys) at the
+    // cost of sorting every batch twice; this shape shuffles every row
+    // once and sorts once — the winner at this workload's ~10–20% in-batch
+    // duplication. A batch with EXTREME per-key duplication (one key
+    // re-delivered 10^4+ times) should pre-collapse with
+    // `Options.preDedup`/`saltBuckets` — the knobs that already exist for
+    // exactly that shape.
     def reduceOnce(d: DataFrame, groupCols: Seq[Column]): DataFrame =
       d.repartition(groupCols: _*)
         .sortWithinPartitions(groupCols.map(_.asc) :+ col("_lsn").desc: _*)

@@ -213,8 +213,13 @@ object CdcPipeline {
         // silently lose every journaled-but-uncommitted batch — the
         // exactly-once hole the round-5 verdict flagged. Fail loudly.
         case e =>
-          val srcDir = java.nio.file.Paths.get(checkpointRoot, "sources", "0")
-          if (java.nio.file.Files.exists(srcDir))
+          // existence check through the SAME filesystem abstraction the
+          // reader uses — a java.nio check on an hdfs://-style checkpoint
+          // path would always say "missing" and silently downgrade a
+          // corrupt journal to "fresh checkpoint"
+          val srcDir = new org.apache.hadoop.fs.Path(s"$checkpointRoot/sources/0")
+          val fs = srcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(srcDir))
             throw new IllegalStateException(
               s"source manifest under $srcDir exists but is unreadable — " +
                 s"recovery from batch $from would silently lose journaled " +
@@ -224,24 +229,10 @@ object CdcPipeline {
             "recovering nothing")
           Nil
       }.get
-    // the file source plans batch ids contiguously: a GAP in the recovered
-    // range means the journal lost entries (e.g. a retention/compaction
-    // malfunction) — re-applying around a hole would commit later batches
-    // while silently dropping the hole's events, so fail instead
-    entries.map(_._1).sliding(2).foreach {
-      case Seq(a, b) if b != a + 1 =>
-        sys.error(s"source-log journal gap: batch ${a + 1} missing between " +
-          s"$a and $b under $checkpointRoot — refusing to recover around a hole")
-      case _ => ()
-    }
-    // a FRONT hole is the same loss shape: the log's earliest recoverable
-    // entry sits above the table watermark+1, so batches in between were
-    // journaled, never applied, and are no longer recoverable
-    entries.headOption.filter(_._1 > from).foreach { case (head, _) =>
-      sys.error(s"source-log journal gap: batches [$from, ${head - 1}] are " +
-        s"above the table watermark but absent from the journal under " +
-        s"$checkpointRoot — refusing to recover around a hole")
-    }
+    // contiguity contract: GraftShim.sourceLogBatches reconstructs the
+    // range [watermark+1, latest] id by id and FAILS on any id no batch
+    // file or compact file covers — so `entries` here is either empty or
+    // gap-free by construction; no second validation layer is needed
     var recovered = 0
     entries.foreach { case (batchId, files) =>
       if (!table.currentSnapshot.applied(batchId)) {

@@ -209,7 +209,8 @@ object CdcStream {
     // journaled one final batch the stopping query never executed (see
     // runOnce's post-termination sweep) — recovery is a cheap no-op when
     // the journal and watermark agree
-    CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
+    if (CdcPipeline.recoverPending(spark, table, checkpointDir, opts) > 0)
+      table.awaitMaintenance()
     TailRun(restarts, lastData, deadMs)
   }
 
@@ -304,7 +305,10 @@ object CdcStream {
     // The journal contract already covers this exact shape ("every
     // source-log batch above the watermark is applied at (re)start"), so
     // run the recovery sweep at TERMINATION too: a no-op on the common
-    // path, and it synchronously applies any planned-but-unrun tail batch.
-    CdcPipeline.recoverPending(spark, table, checkpointDir, opts)
+    // path, and it synchronously applies any planned-but-unrun tail batch
+    // (recoverPending flushes its own lineage; re-await maintenance so a
+    // compaction the sweep triggered doesn't outlive the call).
+    if (CdcPipeline.recoverPending(spark, table, checkpointDir, opts) > 0)
+      table.awaitMaintenance()
   }
 }

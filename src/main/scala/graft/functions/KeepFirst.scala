@@ -49,7 +49,20 @@ case class KeepFirstOfRunExpr(children: Seq[Expression])
       }
       if (same) {
         val p = prev(i)
-        same = if (p == null) v == null else p == v
+        // semantics must MATCH the codegen path (ctx.genEqual): byte[]
+        // compares by content (boxed == would be reference equality) and
+        // float/double by primitive == (boxed equals says NaN == NaN)
+        same =
+          if (p == null) v == null
+          else if (v == null) false
+          else (p, v) match {
+            case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+            case (a: java.lang.Double, b: java.lang.Double) =>
+              a.doubleValue == b.doubleValue
+            case (a: java.lang.Float, b: java.lang.Float) =>
+              a.floatValue == b.floatValue
+            case _ => p == v
+          }
       }
       cur(i) = v
       i += 1

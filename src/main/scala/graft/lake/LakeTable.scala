@@ -1005,7 +1005,13 @@ class LakeTable(val spark: SparkSession, val root: String, val numBuckets: Int =
       // budget is capped at one slice per `minRowsPerSlice` rows. Large
       // batches are unaffected (cap >= cores); tiny batches write
       // O(affected buckets) files instead of O(cores).
-      val sizeCap = math.max(1L, totalW / minRowsPerSlice).toInt
+      // Floor at cores/4: the weight signal is one batch OLD, so a burst
+      // batch right after a trickle would otherwise be written with
+      // O(affected-buckets) tasks (e.g. a 10M-row catch-up batch on 2
+      // tasks). A quarter-wave floor bounds that transition commit to
+      // ≤4× the ideal wall time while still cutting the tiny-batch file
+      // count 4× — and the very next commit's weights re-adapt fully.
+      val sizeCap = math.max(cores / 4, math.max(1L, totalW / minRowsPerSlice).toInt)
       val T = math.min(math.max(cores, nAffected), math.max(nAffected, sizeCap))
       // largest-remainder apportionment to EXACTLY ~T slices: a plain
       // ceil() would give every bucket slightly above average 2 slices and

@@ -174,7 +174,10 @@ object CurationPipeline {
           least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"),
           (coalesce(col("nl"), labels("label")) < labels("label")).as("_chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.agg(sum(when(col("_chg"), 1L).otherwise(0L))).head.getLong(0)
+      // coalesce: sum over ZERO rows is null (an empty pair set is a
+      // legitimate input — a corpus with no near-duplicates)
+      val changed = next.agg(coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0)
       cached.unpersist(false)
       cached = next
       labels = next.select(col("id"), col("label"))

@@ -228,6 +228,15 @@ class TextOpsSpec extends SparkSpec {
     assert(actions.get() <= 6,
       s"one action per propagation round expected, observed ${actions.get()}")
   }
+
+  test("CC survivor selection over an EMPTY pair set: no losers, no crash") {
+    // a corpus with no near-duplicates is a legitimate input — the round's
+    // folded convergence aggregate must coalesce its sum over zero rows
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val losers = CurationPipeline.connectedLosers(empty)
+    assert(losers.count() == 0)
+    losers.unpersist(false)
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
